@@ -1,0 +1,235 @@
+"""Deterministic image+caption corpus generator.
+
+The table matches the input_hint schema exactly:
+  (image_id string, bytes binary, w int, h int, fmt string,
+   caption string, phash long)
+plus a ground-truth side table (image_id, cluster_id, is_canonical).
+
+Generation scheme mirrors the reference's benchmark harness:
+  * content = sha256(seed) digest tiled to the target size
+    (reference benchmark/generator.py:24-28) — here the tiled digest is
+    the raw RGB pixel buffer of a PPM (P6) image, so the payload is a
+    genuinely decodable image and the PSNR>=40dB decoded-pixel
+    invariant is checkable.
+  * rng seed 42 (reference benchmark/generator.py:57); each new row is
+    a duplicate of a prior unique row with probability dup_ratio
+    (reference benchmark/generator.py:49-125); profiles small-heavy /
+    mixed / large-heavy weight the payload-size distribution
+    (reference benchmark/config.py:8-19).
+  * image_id is path-like ("{aa}/{bb}/img_{n:06d}.{fmt}", reference
+    fans files into 256x256 dirs) so the shortest-id canonical rule has
+    the same flavor as the reference's shortest-path rule.
+
+Everything is numpy-vectorized; the output is a pandas DataFrame fed to
+``spark.createDataFrame`` over Arrow (fixtures are driver-side by
+definition — the SCALE path reads the written parquet, never re-runs
+generation per executor).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+IMAGES_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long"
+)
+TRUTH_SCHEMA = "image_id string, cluster_id string, is_canonical boolean"
+
+# size profiles: (label, weight, (min_side, max_side)) — sides in pixels;
+# payload ~ 3*w*h bytes. Scaled-down analog of benchmark/config.py:8-19.
+PROFILES = {
+    "small-heavy": [(0.8, (8, 32)), (0.15, (32, 96)), (0.05, (96, 192))],
+    "mixed": [(0.4, (8, 32)), (0.4, (32, 96)), (0.2, (96, 192))],
+    "large-heavy": [(0.1, (8, 32)), (0.3, (32, 96)), (0.6, (96, 256))],
+}
+
+_VOCAB = (
+    "the a of quick brown fox lazy dog sunset mountain river city street "
+    "portrait landscape macro night day winter summer red blue green "
+    "vintage modern abstract minimal detailed closeup wide aerial candid "
+    "studio natural light shadow texture pattern geometry motion blur"
+).split()
+
+
+def _tile_digest(seed_bytes: bytes, n: int) -> np.ndarray:
+    """sha256 digest tiled to n bytes (benchmark/generator.py:24-28 trick)."""
+    digest = hashlib.sha256(seed_bytes).digest()
+    reps = n // len(digest) + 1
+    return np.frombuffer((digest * reps)[:n], dtype=np.uint8).copy()
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """P6 binary PPM: trivially decodable, uncompressed."""
+    h, w, _ = pixels.shape
+    return f"P6\n{w} {h}\n255\n".encode() + pixels.astype(np.uint8).tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Inverse of encode_ppm. Raises ValueError on truncated payloads
+    (the 'unreadable row' fixture relies on this)."""
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    parts = data.split(b"\n", 3)
+    if len(parts) < 4:
+        raise ValueError("truncated header")
+    w, h = (int(x) for x in parts[1].split())
+    raw = parts[3]
+    need = w * h * 3
+    if len(raw) < need:
+        raise ValueError("truncated payload")
+    return np.frombuffer(raw[:need], dtype=np.uint8).reshape(h, w, 3)
+
+
+_DCT32 = None
+
+
+def _dct_matrix(n: int = 32) -> np.ndarray:
+    global _DCT32
+    if _DCT32 is None:
+        k = np.arange(n)[:, None]
+        x = np.arange(n)[None, :]
+        m = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * x + 1) * k / (2 * n))
+        m[0] /= np.sqrt(2.0)
+        _DCT32 = m
+    return _DCT32
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit perceptual hash: grayscale → 32x32 mean-pool resize →
+    2-D DCT-II → top-left 8x8 low-frequency block (minus DC) → median
+    threshold → bits packed to a signed int64.
+
+    Standard public pHash construction; numpy matrix-multiply DCT so no
+    external imaging libs are needed.
+    """
+    gray = pixels.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    ys = (np.arange(32) * h) // 32
+    xs = (np.arange(32) * w) // 32
+    small = gray[np.ix_(ys, xs)]
+    m = _dct_matrix(32)
+    freq = m @ small @ m.T
+    block = freq[:8, :8].flatten()[1:]  # drop DC
+    bits = block > np.median(block)
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return np.int64(np.uint64(val).astype(np.int64))
+
+
+def _caption(rng: np.random.Generator, n_words: int) -> str:
+    return " ".join(rng.choice(_VOCAB, size=n_words))
+
+
+@dataclass
+class Corpus:
+    images: pd.DataFrame
+    truth: pd.DataFrame
+
+    def true_pairs(self) -> set[tuple[str, str]]:
+        """Unordered within-cluster duplicate pairs (recall denominator)."""
+        pairs: set[tuple[str, str]] = set()
+        for _, grp in self.truth.groupby("cluster_id"):
+            ids = sorted(grp["image_id"])
+            if len(ids) >= 2:
+                pairs.update(
+                    (a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]
+                )
+        return pairs
+
+
+def generate_corpus(
+    n_rows: int,
+    dup_ratio: float = 0.3,
+    profile: str = "mixed",
+    seed: int = 42,
+    near_dup_ratio: float = 0.0,
+    fmts: tuple[str, ...] = ("ppm",),
+) -> Corpus:
+    """Build the corpus.
+
+    dup_ratio: probability a row is an EXACT duplicate of a prior unique
+    row (same bytes/caption/phash, new id) — benchmark/generator.py:69-78.
+    near_dup_ratio: probability a row is a NEAR duplicate — same image
+    with a small pixel perturbation (PSNR >= 40 dB) + caption with one
+    token substituted; exact tier must NOT group these, near-dup tier must.
+    """
+    rng = np.random.default_rng(seed)
+    weights = PROFILES[profile]
+    probs = np.array([wgt for wgt, _ in weights])
+    probs = probs / probs.sum()
+
+    rows: list[dict] = []
+    truth: list[dict] = []
+    uniques: list[int] = []  # indices into rows of unique originals
+
+    for i in range(n_rows):
+        aa, bb = rng.integers(0, 256, size=2)
+        fmt = fmts[int(rng.integers(0, len(fmts)))]
+        image_id = f"{aa:02x}/{bb:02x}/img_{i:06d}.{fmt}"
+        r = rng.random()
+        if uniques and r < dup_ratio:
+            src = rows[uniques[int(rng.integers(0, len(uniques)))]]
+            rows.append({**src, "image_id": image_id})
+            truth.append({"image_id": image_id, "cluster_id": src["image_id"]})
+        elif uniques and r < dup_ratio + near_dup_ratio:
+            src = rows[uniques[int(rng.integers(0, len(uniques)))]]
+            pixels = decode_ppm(src["bytes"]).astype(np.int16)
+            # ±1 on a single channel everywhere: MSE <= 1 → PSNR >= 48 dB
+            noise = rng.integers(0, 2, size=pixels.shape, dtype=np.int16)
+            pert = np.clip(pixels + noise, 0, 255).astype(np.uint8)
+            words = src["caption"].split()
+            j = int(rng.integers(0, len(words)))
+            words[j] = str(rng.choice(_VOCAB))
+            rows.append(
+                {
+                    "image_id": image_id,
+                    "bytes": encode_ppm(pert),
+                    "w": src["w"],
+                    "h": src["h"],
+                    "fmt": fmt,
+                    "caption": " ".join(words),
+                    "phash": int(phash64(pert)),
+                }
+            )
+            truth.append({"image_id": image_id, "cluster_id": src["image_id"]})
+        else:
+            band = int(rng.choice(len(weights), p=probs))
+            lo, hi = weights[band][1]
+            w = int(rng.integers(lo, hi + 1))
+            h = int(rng.integers(lo, hi + 1))
+            pixels = (
+                _tile_digest(f"{seed}:{i}".encode(), w * h * 3).reshape(h, w, 3)
+            )
+            rows.append(
+                {
+                    "image_id": image_id,
+                    "bytes": encode_ppm(pixels),
+                    "w": w,
+                    "h": h,
+                    "fmt": fmt,
+                    "caption": _caption(rng, int(rng.integers(5, 15))),
+                    "phash": int(phash64(pixels)),
+                }
+            )
+            uniques.append(i)
+            truth.append({"image_id": image_id, "cluster_id": image_id})
+
+    images = pd.DataFrame(rows)
+    tdf = pd.DataFrame(truth)
+    canon = tdf.groupby("cluster_id")["image_id"].transform(
+        lambda s: min(s, key=lambda x: (len(x), x))
+    )
+    tdf["is_canonical"] = tdf["image_id"] == canon
+    return Corpus(images=images, truth=tdf)
+
+
+def to_spark(spark, corpus: Corpus):
+    imgs = spark.createDataFrame(corpus.images, schema=IMAGES_SCHEMA)
+    truth = spark.createDataFrame(corpus.truth, schema=TRUTH_SCHEMA)
+    return imgs, truth

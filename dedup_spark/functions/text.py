@@ -1,0 +1,123 @@
+"""Text analysis for training-data pipelines — all built-in expressions
+(JVM-side, whole-stage codegen) so they run at scan speed; every
+function is also expressible in ANSI SQL for the DuckDB oracle.
+
+  token_count        whitespace tokenization count
+  char_classes       punctuation / digit / alpha / space ratios
+  quality_score      composite [0,1] heuristic (length, punct, stopword)
+  lang_id            stopword-marker n-gram heuristic over 5 languages
+  fingerprint        normalization + hash document fingerprint
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# public stopword markers per language (tiny, deterministic lists —
+# a real pipeline would swap in fastText; the plumbing is identical)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "la", "los", "que", "es"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "that"]
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; empty/blank → 0."""
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def _count_matches(text: Column, word: str) -> Column:
+    """Occurrences of a word surrounded by word boundaries."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    return (
+        F.length(padded)
+        - F.length(F.regexp_replace(padded, rf"(?<=\W){word}(?=\W)", ""))
+    ) / len(word)
+
+
+def marker_score(text: Column, lang: str) -> Column:
+    """Total marker-word occurrences for one language."""
+    s = F.lit(0.0)
+    for w in LANG_MARKERS[lang]:
+        s = s + _count_matches(text, w)
+    return s
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over language marker scores; 'und' if all zero.
+    Deterministic tie-break = language alphabetical order (greatest
+    struct comparison puts score first, then reversed lang so earlier
+    alphabet wins ties)."""
+    structs = [
+        F.struct(
+            marker_score(text, lang).alias("score"),
+            F.lit(_rev_ord(lang)).alias("tie"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang in sorted(LANG_MARKERS)
+    ]
+    best = F.greatest(*structs)
+    return F.when(best["score"] <= 0, F.lit("und")).otherwise(best["lang"])
+
+
+def _rev_ord(lang: str) -> str:
+    """Invert byte order so greatest() prefers alphabetically-first on ties."""
+    return "".join(chr(255 - ord(c)) for c in lang)
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    punct = n - F.length(F.regexp_replace(text, r"[!-/:-@\[-`{-~]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(punct / n)
+
+
+def alpha_ratio(text: Column) -> Column:
+    n = F.length(text)
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(alpha / n)
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = token_count(text)
+    s = F.lit(0.0)
+    for w in EN_STOPWORDS:
+        s = s + _count_matches(text, w)
+    return F.when(toks == 0, F.lit(0.0)).otherwise(s / toks)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic (public C4/Gopher-style rules):
+    reward moderate length, alpha-dominated text, some stopwords,
+    penalize punctuation floods. Pure closed-form so the oracle SQL can
+    replicate it exactly."""
+    n_tok = token_count(text)
+    len_term = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+    alpha_term = alpha_ratio(text)
+    stop_term = F.least(stopword_ratio(text) * 4, F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * 5)
+    return F.round(
+        (len_term + alpha_term + stop_term + punct_pen) / 4.0, 6
+    )
+
+
+def normalize_text(text: Column) -> Column:
+    """Dedup normalization: lowercase, collapse whitespace, strip
+    punctuation — the canonical form used for fingerprinting."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[!-/:-@\[-`{-~]", " ")
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return t
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint = sha256 of the normalized text. Rows with
+    equal fingerprints are normalization-equal duplicates (a cheaper,
+    more forgiving tier than byte equality)."""
+    return F.sha2(normalize_text(text), 256)

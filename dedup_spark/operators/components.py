@@ -1,0 +1,162 @@
+"""Distributed connected components — large-star / small-star iteration.
+
+Transitive clustering of verified near-duplicate pairs (the reference's
+exact-hash equivalence classes are transitive for free; Jaccard/Hamming
+edges are not, so the north rule mandates an explicit CC pass).
+
+Algorithm: alternating large-star / small-star label propagation
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14 — public algorithm):
+
+  large-star: every node points its LARGER neighbors at its current
+              minimum neighbor (including itself)
+  small-star: every node points its smaller-or-equal neighbors at the
+              minimum
+  repeat until the edge set is stable → every node points directly at
+  its component's minimum id.
+
+Each iteration is two shuffles (groupBy min + explode join). The edge
+DataFrame is localCheckpointed every iteration to truncate the lineage
+(otherwise the plan doubles per round and the driver OOMs planning, not
+executing). With a durable checkpoint_dir the intermediate edge set is
+also persisted per iteration with a manifest, so a killed job resumes
+from the last completed iteration instead of restarting — the north
+rule's checkpoint-resume requirement (analog of the reference's
+"already hardlinked → skip", src/actions.rs:70-80).
+
+Convergence: O(log n) iterations; a hash-equality check on the relabeled
+edge multiset decides the stop (counting changed rows — one cheap agg
+per iteration).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dedup_spark.config import DEFAULT_CONFIG, DedupConfig
+from dedup_spark.plans.lineage import StageMetrics
+
+
+def _canonical_edges(edges: DataFrame) -> DataFrame:
+    """Normalize to src < dst, drop self-loops and duplicates."""
+    e = edges.select(
+        F.least("id1", "id2").alias("src"), F.greatest("id1", "id2").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    return e.distinct()
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every node's larger neighbors to its minimum neighbor."""
+    # undirected neighborhood: emit both directions
+    nbrs = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
+        edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    mins = nbrs.groupBy("u").agg(F.min("v").alias("m"))
+    mins = mins.withColumn("m", F.least("u", "m"))
+    return (
+        nbrs.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))  # large neighbors only
+        .select(F.col("m").alias("src"), F.col("v").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Connect every node's smaller-or-equal neighbors to the minimum."""
+    directed = edges.select(
+        F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+    )
+    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+    relinked = (
+        directed.join(mins, "u")
+        .select(F.col("m").alias("src"), F.col("v").alias("dst"))
+        .unionAll(mins.select(F.col("m").alias("src"), F.col("u").alias("dst")))
+    )
+    return (
+        relinked.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
+        .distinct()
+    )
+
+
+def _ckpt_path(cfg: DedupConfig, it: int) -> str:
+    return os.path.join(cfg.checkpoint_dir, f"cc_iter_{it:03d}")
+
+
+def _manifest_path(cfg: DedupConfig) -> Path:
+    return Path(cfg.checkpoint_dir) / "cc_manifest.json"
+
+
+def connected_components(
+    edges: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    metrics: StageMetrics | None = None,
+) -> DataFrame:
+    """(id1, id2) edge list → (id, cluster_id) assignment, cluster_id =
+    min id of the component. Includes every node that appears in an edge.
+    """
+    spark = edges.sparkSession
+    metrics = metrics or StageMetrics("connected_components")
+
+    e = _canonical_edges(edges)
+    start_iter = 0
+
+    # resume from a durable checkpoint if one exists (north rule)
+    if cfg.checkpoint_dir:
+        mp = _manifest_path(cfg)
+        if mp.exists():
+            m = json.loads(mp.read_text())
+            if not m.get("converged"):
+                start_iter = m["last_iteration"] + 1
+                e = spark.read.parquet(_ckpt_path(cfg, m["last_iteration"]))
+    e = e.localCheckpoint(eager=True)
+
+    for it in range(start_iter, cfg.cc_max_iterations):
+        with metrics.stage(f"iter_{it}"):
+            e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            # converged iff the canonical edge multiset is unchanged
+            delta = e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
+            metrics.record(f"iter_{it}_edges", e2.count())
+            if cfg.checkpoint_dir:
+                e2.write.mode("overwrite").parquet(_ckpt_path(cfg, it))
+                _manifest_path(cfg).write_text(
+                    json.dumps({"last_iteration": it, "converged": delta == 0})
+                )
+            e = e2
+            if delta == 0:
+                break
+    else:
+        raise RuntimeError(
+            f"connected components did not converge in {cfg.cc_max_iterations} iterations"
+        )
+
+    # at convergence every dst points at its component min (src)
+    assign = e.select(F.col("dst").alias("id"), F.col("src").alias("cluster_id"))
+    roots = e.select(F.col("src").alias("id")).distinct().withColumn(
+        "cluster_id", F.col("id")
+    )
+    return assign.unionByName(roots).distinct()
+
+
+def clusters_from_pairs(
+    pairs: DataFrame,
+    all_ids: DataFrame | None = None,
+    id_col: str = "image_id",
+    cfg: DedupConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Pairs → full assignment table. If all_ids is given, singleton rows
+    (no near-dup) get their own cluster_id = id, matching the generator's
+    ground-truth shape."""
+    cc = connected_components(pairs, cfg)
+    if all_ids is None:
+        return cc.withColumnRenamed("id", id_col)
+    base = all_ids.select(F.col(id_col))
+    merged = base.join(cc.withColumnRenamed("id", id_col), on=id_col, how="left")
+    return merged.withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )

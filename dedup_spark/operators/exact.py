@@ -1,0 +1,152 @@
+"""Exact duplicate detection — the reference's 3-stage cascade, Spark-first.
+
+Reference semantics (denizariyan/dedup):
+  stage 1  group_by_size          src/grouping.rs:13-24  — free key, HAVING n>=2
+  stage 2  group_by_partial_hash  src/hasher.rs:18-27,77-79 — BLAKE3(first 8 KiB)
+  stage 3  group_by_full_hash     src/hasher.rs:30-47,83-85 — BLAKE3(whole file)
+Each stage keeps only groups with >=2 members (src/grouping.rs:21,
+src/hasher.rs:70). Because the final test is exact-hash equality, the
+cascade is semantically just ``GROUP BY (size, full_hash) HAVING n >= 2``
+(reference README.md:125-146) — the earlier stages exist to avoid reading
+content for rows that cannot possibly have a duplicate. We keep that
+shape because at 100 TB the same economics hold: hashing every payload is
+the expensive pass, so we prune on free columns first.
+
+Scale design notes
+------------------
+* **Candidate pruning via aggregate + broadcast semi-join**, not a window.
+  ``count(*) over (partition by key)`` would shuffle the full rows —
+  including the binary payload — to rank them. Instead we aggregate the
+  *projected* key columns (map-side partial aggregation handles skew for
+  free), keep keys with n>=2, and broadcast-semi-join the key set back.
+  The payload column never crosses a shuffle boundary.
+* **All aggregations are partial-aggregatable** (count / min / sum), so a
+  pathological million-row duplicate cluster combines map-side; no
+  salting needed on this path. ``collect_list`` of members is only in the
+  small-scale report helper, never the scale path — cluster membership is
+  a (id, cluster_id) assignment table instead.
+* Null/unreadable payloads are dropped silently, mirroring the
+  reference's filter_map skip (src/hasher.rs:57-60).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from dedup_spark.config import DEFAULT_CONFIG, DedupConfig
+
+
+def _payload_length(payload: Column, payload_kind: str) -> Column:
+    # length() is bytes for binary, chars for string — both are the
+    # "free" size key in the sense of the reference's file size.
+    return F.length(payload)
+
+
+def size_candidates(
+    df: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Stage 1 — group by free key columns, keep keys with >=2 members.
+
+    Mirrors group_by_size (reference src/grouping.rs:13-24). Returns the
+    distinct surviving key set (small), suitable for broadcast.
+    """
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .drop("_n")
+    )
+
+
+def semi_join_candidates(df: DataFrame, keys: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Keep rows whose key appears in the (broadcast) surviving-key set.
+
+    Broadcast keeps the big side's binary payload out of the shuffle; at
+    cluster scale AQE falls back to shuffle join only if the key set is
+    genuinely huge (meaning most data is duplicated — then the join is
+    the right plan anyway).
+    """
+    return df.join(F.broadcast(keys), on=key_cols, how="left_semi")
+
+
+def exact_duplicate_clusters(
+    df: DataFrame,
+    id_col: str = "image_id",
+    payload_col: str = "bytes",
+    extra_keys: tuple[str, ...] = ("phash",),
+    cfg: DedupConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Full cascade → assignment table ``(id, cluster_id, size, n_members)``.
+
+    cluster_id = min(id) within the byte-identical group (deterministic,
+    no giant arrays materialized). Only rows that ARE duplicates appear,
+    matching the reference's "groups with >=2 members" contract.
+    """
+    payload = F.col(payload_col)
+    base = (
+        df.filter(payload.isNotNull())
+        .filter(F.length(payload) >= cfg.min_size)
+    )
+    if cfg.max_size is not None:
+        base = base.filter(F.length(payload) <= cfg.max_size)
+
+    base = base.withColumn("_len", F.length(payload))
+    keys1 = [*extra_keys, "_len"]
+
+    # stage 1: free-column grouping (size + phash)
+    s1 = semi_join_candidates(base, size_candidates(base, keys1), keys1)
+
+    # stage 2: prefix hash over the first prefix_bytes of the payload
+    # (sha2 is built-in + codegen'd; exact-equality semantics only need
+    # *a* collision-resistant hash, not BLAKE3 specifically — see
+    # SURVEY.md §1.3)
+    prefix = F.sha2(
+        F.substring(F.col(payload_col).cast("binary"), 1, cfg.prefix_bytes), 256
+    )
+    s2 = s1.withColumn("_psha", prefix)
+    keys2 = [*keys1, "_psha"]
+    s2 = semi_join_candidates(s2, size_candidates(s2, keys2), keys2)
+
+    # stage 3: full-content hash → confirmed clusters
+    s3 = s2.withColumn("_fsha", F.sha2(F.col(payload_col).cast("binary"), 256))
+    keys3 = ["_len", "_fsha"]
+
+    # assignment: min(id) per confirmed group, attached via the same
+    # aggregate-then-broadcast-join pattern (payload already droppable).
+    members = s3.select(id_col, "_len", "_fsha")
+    groups = (
+        members.groupBy(*keys3)
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min(id_col).alias("cluster_id"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
+    return (
+        members.join(F.broadcast(groups), on=keys3, how="inner")
+        .select(
+            F.col(id_col),
+            F.col("cluster_id"),
+            F.col("_len").alias("size"),
+            F.col("n_members"),
+        )
+    )
+
+
+def duplicate_stats(assignments: DataFrame) -> DataFrame:
+    """Reference DuplicateStats + report totals (src/output.rs:38-73):
+    duplicate_files = Σ n_i over groups; wasted = Σ size_i * (n_i - 1).
+    One-row DataFrame: (duplicate_groups, duplicate_rows, wasted_bytes).
+    """
+    per_group = (
+        assignments.groupBy("cluster_id")
+        .agg(F.max("size").alias("size"), F.count(F.lit(1)).alias("n"))
+    )
+    return per_group.agg(
+        F.count(F.lit(1)).alias("duplicate_groups"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("duplicate_rows"),
+        F.coalesce(F.sum(F.col("size") * (F.col("n") - 1)), F.lit(0))
+        .cast("long")
+        .alias("wasted_bytes"),
+    )

@@ -1,0 +1,219 @@
+"""MinHash-over-shingles + LSH banding — near-duplicate candidate
+generation for captions/text. [EXT] per SURVEY.md §2.3 (generalizes the
+reference's cheap-signature-before-expensive-compare cascade,
+src/hasher.rs:18-27, to Jaccard similarity).
+
+Built from scratch (NOT pyspark.ml.feature.MinHashLSH):
+
+  1. shingle: word k-grams per document, hashed to uint64
+  2. signature: num_perm = bands*rows universal-hash permutations
+     min-ed over shingle hashes — one Arrow-vectorized pandas UDF,
+     numpy broadcasting inside (no per-row Python beyond tokenize)
+  3. band keys: each band of `rows` signature slots hashed to one
+     int64 → posexplode to (band_idx, band_hash) rows
+  4. candidates: equi-self-join on (band_idx, band_hash) with id1<id2,
+     distinct — ONLY rows sharing a band collide, so the join is sparse
+  5. verify: exact Jaccard on candidate pairs only, via shingle-set
+     intersection recompute (the analog of the reference's full-hash
+     confirmation stage, src/hasher.rs:30-47)
+
+Scale notes:
+  * the self-join shuffles only (id, band) pairs — signatures and text
+    are projected away first.
+  * a hot band bucket (e.g. thousands of identical docs) would produce
+    O(n²) pairs; `max_band_bucket` caps pair fan-out per bucket: rows in
+    an oversized bucket are all duplicates of each other with
+    overwhelming probability, so we link them in a star to the bucket's
+    min id (O(n) edges) instead of emitting all pairs — connected
+    components restores the full cluster. This is the skew story for
+    10^12-scale duplicate floods.
+  * Jaccard verify joins the exploded shingle table to candidate pairs —
+    candidate-restricted (left_semi prune first), never all-pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from dedup_spark.config import DEFAULT_CONFIG, DedupConfig
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+_MAX_HASH = np.uint64((1 << 61) - 1)
+
+
+def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, int(_MERSENNE), size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, int(_MERSENNE), size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Word k-gram shingles → uint64 hashes (polynomial rolling hash over
+    token hashes; vectorized over the token array)."""
+    toks = text.lower().split()
+    if len(toks) < k:
+        toks = toks + ["\x00"] * (k - len(toks))  # pad short docs to 1 shingle
+    th = np.array(
+        [hash_token(t) for t in toks], dtype=np.uint64
+    )
+    n = len(th) - k + 1
+    # stack k shifted views and combine with distinct multipliers
+    # (iterative powers of the golden-ratio constant, wrapping mod 2^64)
+    mults = np.empty(k, dtype=np.uint64)
+    m = np.uint64(1)
+    for i in range(k):
+        m = m * np.uint64(0x9E3779B97F4A7C15)
+        mults[i] = m
+    acc = np.zeros(n, dtype=np.uint64)
+    for i in range(k):
+        acc ^= th[i : i + n] * mults[i]
+    return np.unique(acc)
+
+
+def hash_token(tok: str) -> int:
+    """Deterministic 64-bit FNV-1a over UTF-8 (stable across processes,
+    unlike Python's salted hash())."""
+    h = 0xCBF29CE484222325
+    for byte in tok.encode("utf-8"):
+        h ^= byte
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def minhash_signature_udf(cfg: DedupConfig = DEFAULT_CONFIG):
+    """pandas UDF: text column → array<bigint> of band hashes (length =
+    cfg.minhash_bands). Band hash = xxhash-style mix of the band's `rows`
+    min-hash slots, so banding happens inside the UDF and only
+    bands × 8 bytes per row cross into the JVM."""
+    a, b = _perm_params(cfg.num_perm, cfg.minhash_seed)
+    bands, rows, k = cfg.minhash_bands, cfg.minhash_rows, cfg.shingle_k
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            if text is None:
+                out.append(None)
+                continue
+            sh = _shingle_hashes(text, k)
+            # (num_perm, n_shingles) universal hash, min over shingles
+            vals = (a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE
+            sig = vals.min(axis=1)
+            bb = sig.reshape(bands, rows)
+            # mix each band's rows into one int64 key
+            mixed = np.zeros(bands, dtype=np.uint64)
+            for r in range(rows):
+                mixed ^= bb[:, r] + np.uint64(0x9E3779B97F4A7C15)
+                mixed *= np.uint64(0xBF58476D1CE4E5B9)
+            out.append(mixed.astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return _sig
+
+
+def shingle_explode_udf(cfg: DedupConfig = DEFAULT_CONFIG):
+    """pandas UDF: text → array<bigint> of distinct shingle hashes
+    (used by the exact-Jaccard verification join)."""
+    k = cfg.shingle_k
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sh(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if t is None
+                else _shingle_hashes(t, k).astype(np.int64).tolist()
+                for t in texts
+            ]
+        )
+
+    return _sh
+
+
+def band_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    max_band_bucket: int = 64,
+) -> DataFrame:
+    """LSH candidate pairs (id1 < id2), deduped across bands.
+
+    Skew guard: buckets larger than max_band_bucket emit a star to the
+    bucket min-id instead of all C(n,2) pairs (see module docstring).
+    """
+    sig = minhash_signature_udf(cfg)
+    banded = (
+        df.select(F.col(id_col).alias("_id"), sig(F.col(text_col)).alias("_bands"))
+        .filter(F.col("_bands").isNotNull())
+        .select("_id", F.posexplode("_bands").alias("band_idx", "band_hash"))
+    )
+    # bucket stats for the skew guard — partial-agg friendly
+    stats = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("_n"), F.min("_id").alias("_minid"))
+        .filter(F.col("_n") >= 2)
+    )
+    keyed = banded.join(stats, on=["band_idx", "band_hash"], how="inner")
+
+    small = keyed.filter(F.col("_n") <= max_band_bucket)
+    a = small.select("band_idx", "band_hash", F.col("_id").alias("id1"))
+    b = small.select("band_idx", "band_hash", F.col("_id").alias("id2"))
+    pairs_small = (
+        a.join(b, on=["band_idx", "band_hash"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+    )
+    pairs_big = (
+        keyed.filter((F.col("_n") > max_band_bucket) & (F.col("_id") != F.col("_minid")))
+        .select(F.col("_minid").alias("id1"), F.col("_id").alias("id2"))
+    )
+    return pairs_small.unionByName(pairs_big).distinct()
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs → (id1, id2, jaccard), filtered to
+    cfg.jaccard_threshold. Shingle sets are recomputed only for rows that
+    appear in some pair (left_semi prune), then set-intersected via
+    built-in array functions — no Python in the join itself."""
+    sh = shingle_explode_udf(cfg)
+    ids = pairs.select(F.col("id1").alias("_id")).unionByName(
+        pairs.select(F.col("id2").alias("_id"))
+    ).distinct()
+    shingled = (
+        df.join(ids, df[id_col] == ids["_id"], "left_semi")
+        .select(F.col(id_col).alias("_id"), sh(F.col(text_col)).alias("_sh"))
+    )
+    s1 = shingled.select(F.col("_id").alias("id1"), F.col("_sh").alias("_sh1"))
+    s2 = shingled.select(F.col("_id").alias("id2"), F.col("_sh").alias("_sh2"))
+    return (
+        pairs.join(s1, "id1").join(s2, "id2")
+        .withColumn("_inter", F.size(F.array_intersect("_sh1", "_sh2")))
+        .withColumn(
+            "jaccard",
+            F.col("_inter")
+            / (F.size("_sh1") + F.size("_sh2") - F.col("_inter")),
+        )
+        .filter(F.col("jaccard") >= cfg.jaccard_threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "image_id",
+    text_col: str = "caption",
+    cfg: DedupConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Full near-dup tier: LSH candidates → verified (id1, id2, jaccard)."""
+    pairs = band_candidates(df, id_col, text_col, cfg)
+    return jaccard_verify(df, pairs, id_col, text_col, cfg)

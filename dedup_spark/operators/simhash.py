@@ -1,0 +1,160 @@
+"""SimHash / Hamming-radius candidate generation over phash. [EXT]
+
+Generalizes the reference's prefix-hash stage (src/hasher.rs:18-27) to a
+locality-sensitive variant: two images whose 64-bit perceptual hashes
+differ in <= `hamming_radius` bits are near-duplicate candidates.
+
+The candidate trick is the standard public pigeonhole banding: split the
+64-bit key into (radius + 1) disjoint bit-bands; any pair within Hamming
+distance `radius` agrees EXACTLY on at least one band. So:
+
+  explode each phash to (band_idx, band_bits) keys  — narrow, built-in
+  self-join on the band key                          — sparse equi-join
+  verify with bit_count(phash1 XOR phash2) <= radius — built-in, codegen
+
+Everything is JVM-side built-in expressions (shiftright / bitwise AND /
+bit_count) — zero Python in this operator.
+
+For text SimHash (no phash column), `simhash_text_udf` builds the
+64-bit signature from token hashes with numpy sign-accumulation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from dedup_spark.config import DEFAULT_CONFIG, DedupConfig
+from dedup_spark.operators.minhash import hash_token
+
+
+def _band_exprs(col: str, radius: int, bits: int = 64) -> list:
+    """Split a `bits`-wide integer column into radius+1 contiguous bands.
+
+    Bands are (band_idx, band_value) pairs; widths differ by at most one
+    bit. Uses shiftrightunsigned + mask so sign bits don't leak across.
+    """
+    n_bands = radius + 1
+    widths = [bits // n_bands + (1 if i < bits % n_bands else 0) for i in range(n_bands)]
+    exprs, offset = [], 0
+    for i, wdt in enumerate(widths):
+        mask = (1 << wdt) - 1
+        exprs.append(
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                (F.shiftrightunsigned(F.col(col), offset) & F.lit(mask)).alias(
+                    "band_bits"
+                ),
+            )
+        )
+        offset += wdt
+    return exprs
+
+
+def hamming_candidates(
+    df: DataFrame,
+    id_col: str = "image_id",
+    hash_col: str = "phash",
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    max_band_bucket: int = 256,
+) -> DataFrame:
+    """Candidate pairs (id1, id2) with guaranteed recall for pairs within
+    cfg.hamming_radius. Same oversized-bucket star guard as MinHash LSH
+    (see minhash.py) for flood keys."""
+    bands = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(hash_col).alias("_h"),
+            F.explode(F.array(*_band_exprs(hash_col, cfg.hamming_radius, cfg.simhash_bits))).alias(
+                "b"
+            ),
+        )
+        .select("_id", "_h", "b.band_idx", "b.band_bits")
+    )
+    stats = (
+        bands.groupBy("band_idx", "band_bits")
+        .agg(F.count(F.lit(1)).alias("_n"), F.min("_id").alias("_minid"))
+        .filter(F.col("_n") >= 2)
+    )
+    keyed = bands.join(stats, on=["band_idx", "band_bits"], how="inner")
+    small = keyed.filter(F.col("_n") <= max_band_bucket)
+    a = small.select("band_idx", "band_bits", F.col("_id").alias("id1"), F.col("_h").alias("_h1"))
+    b = small.select("band_idx", "band_bits", F.col("_id").alias("id2"), F.col("_h").alias("_h2"))
+    pairs_small = (
+        a.join(b, on=["band_idx", "band_bits"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "_h1", "_h2")
+    )
+    big = keyed.filter(F.col("_n") > max_band_bucket)
+    big_min = big.select(
+        F.col("band_idx"), F.col("band_bits"), F.col("_minid")
+    ).distinct().join(
+        bands.select(F.col("_id").alias("_minid"), F.col("_h").alias("_h1")).distinct(),
+        on="_minid",
+    )
+    pairs_big = (
+        big.filter(F.col("_id") != F.col("_minid"))
+        .join(big_min, on=["band_idx", "band_bits", "_minid"])
+        .select(
+            F.col("_minid").alias("id1"),
+            F.col("_id").alias("id2"),
+            "_h1",
+            F.col("_h").alias("_h2"),
+        )
+    )
+    return pairs_small.unionByName(pairs_big).dropDuplicates(["id1", "id2"])
+
+
+def hamming_verify(pairs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Confirm candidates: popcount(h1 XOR h2) <= radius. Built-in
+    bit_count → whole-stage codegen; this is the analog of the
+    reference's full-hash confirmation (src/hasher.rs:30-47)."""
+    return (
+        pairs.withColumn(
+            "hamming", F.bit_count(F.col("_h1").bitwiseXOR(F.col("_h2")))
+        )
+        .filter(F.col("hamming") <= cfg.hamming_radius)
+        .select("id1", "id2", "hamming")
+    )
+
+
+def phash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "image_id",
+    hash_col: str = "phash",
+    cfg: DedupConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Full SimHash tier: band candidates → Hamming-verified pairs."""
+    return hamming_verify(hamming_candidates(df, id_col, hash_col, cfg), cfg)
+
+
+def simhash_text_udf(n_bits: int = 64):
+    """pandas UDF: text → 64-bit SimHash over token FNV hashes.
+
+    Per-token ±1 accumulation across bit positions, vectorized with an
+    (n_tokens, 64) bit matrix per document.
+    """
+
+    @F.pandas_udf(T.LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        shifts = np.arange(n_bits, dtype=np.uint64)
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            toks = t.lower().split()
+            if not toks:
+                out.append(0)
+                continue
+            th = np.array([hash_token(tok) for tok in toks], dtype=np.uint64)
+            bits = ((th[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+            score = (2 * bits - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for i in np.nonzero(score > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(i)
+            out.append(int(sig.astype(np.int64)))
+        return pd.Series(out, dtype="Int64")
+
+    return _simhash
