@@ -59,6 +59,22 @@ def size_candidates(
     )
 
 
+def _materialize_keys(keys: DataFrame) -> DataFrame:
+    """Eagerly materialize a (small) key set and truncate its lineage.
+
+    Without this, each cascade stage's plan embeds the previous stage
+    TWICE (once in the main branch, once inside the key aggregate) —
+    exponential plan growth that Catalyst spends minutes optimizing and
+    the executor recomputes repeatedly. The surviving-key sets are the
+    small side by construction (duplicate keys only, no payload), so
+    materializing them is cheap at any scale. localCheckpoint keeps the
+    partitions on executors; on a real cluster with lost-executor
+    tolerance requirements, point spark.sparkContext.setCheckpointDir
+    at durable storage and swap to .checkpoint().
+    """
+    return keys.localCheckpoint(eager=True)
+
+
 def semi_join_candidates(df: DataFrame, keys: DataFrame, key_cols: list[str]) -> DataFrame:
     """Keep rows whose key appears in the (broadcast) surviving-key set.
 
@@ -67,7 +83,7 @@ def semi_join_candidates(df: DataFrame, keys: DataFrame, key_cols: list[str]) ->
     genuinely huge (meaning most data is duplicated — then the join is
     the right plan anyway).
     """
-    return df.join(F.broadcast(keys), on=key_cols, how="left_semi")
+    return df.join(F.broadcast(_materialize_keys(keys)), on=key_cols, how="left_semi")
 
 
 def exact_duplicate_clusters(
@@ -115,7 +131,7 @@ def exact_duplicate_clusters(
     # assignment: min(id) per confirmed group, attached via the same
     # aggregate-then-broadcast-join pattern (payload already droppable).
     members = s3.select(id_col, "_len", "_fsha")
-    groups = (
+    groups = _materialize_keys(
         members.groupBy(*keys3)
         .agg(
             F.count(F.lit(1)).alias("n_members"),

@@ -47,6 +47,17 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "128m")
         # Auto-broadcast small dims (candidate-key sets, configs).
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # With a large heap the derived Tungsten page size hits its 64 MB
+        # cap; every hash-aggregate task then allocates+zeroes a 64 MB
+        # long[] for its fast map — measured 10-40x slowdown on small
+        # stages. 4 MB pages keep allocation proportional to data and
+        # cost nothing at scale (maps grow by adding pages).
+        .config("spark.buffer.pageSize", "4m")
+        # Checkpointed/cached RDD partitions carry locality preferences;
+        # waiting 3s (default) per wave for NODE_LOCAL slots stalls tiny
+        # stages. Schedule immediately — at our task sizes a remote fetch
+        # is cheaper than any wait.
+        .config("spark.locality.wait", "0s")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
     )
