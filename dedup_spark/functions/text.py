@@ -33,18 +33,24 @@ def token_count(text: Column) -> Column:
     )
 
 
+def _tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens — the shared tokenization for marker
+    counting. One split, reused by every marker expression (Catalyst
+    CSEs the subexpression); exact token equality instead of regex
+    word-boundary matching so the semantics are trivially portable to
+    any ANSI engine (the DuckDB oracle replicates it with
+    regexp_split_to_array + list_filter)."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
 def _count_matches(text: Column, word: str) -> Column:
-    """Occurrences of a word surrounded by word boundaries."""
-    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
-    return (
-        F.length(padded)
-        - F.length(F.regexp_replace(padded, rf"(?<=\W){word}(?=\W)", ""))
-    ) / len(word)
+    """Occurrences of `word` as a whole (lowercased) token."""
+    return F.size(F.filter(_tokens(text), lambda x: x == F.lit(word)))
 
 
 def marker_score(text: Column, lang: str) -> Column:
-    """Total marker-word occurrences for one language."""
-    s = F.lit(0.0)
+    """Total marker-token occurrences for one language (integer)."""
+    s = F.lit(0)
     for w in LANG_MARKERS[lang]:
         s = s + _count_matches(text, w)
     return s
@@ -86,7 +92,7 @@ def alpha_ratio(text: Column) -> Column:
 
 def stopword_ratio(text: Column) -> Column:
     toks = token_count(text)
-    s = F.lit(0.0)
+    s = F.lit(0)
     for w in EN_STOPWORDS:
         s = s + _count_matches(text, w)
     return F.when(toks == 0, F.lit(0.0)).otherwise(s / toks)

@@ -30,7 +30,11 @@ def with_canonical(assignments: DataFrame, id_col: str = "image_id") -> DataFram
         assignments.groupBy("cluster_id")
         .agg(
             F.min_by(
-                F.col(id_col), F.struct(F.length(id_col), F.col(id_col))
+                F.col(id_col),
+                F.struct(
+                    F.length(F.col(id_col).cast("string")),
+                    F.col(id_col).cast("string"),
+                ),
             ).alias("_canonical_id")
         )
     )

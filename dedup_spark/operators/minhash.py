@@ -63,10 +63,10 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     # stack k shifted views and combine with distinct multipliers
     # (iterative powers of the golden-ratio constant, wrapping mod 2^64)
     mults = np.empty(k, dtype=np.uint64)
-    m = np.uint64(1)
+    m = 1
     for i in range(k):
-        m = m * np.uint64(0x9E3779B97F4A7C15)
-        mults[i] = m
+        m = (m * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF  # wraparound mod 2^64
+        mults[i] = np.uint64(m)
     acc = np.zeros(n, dtype=np.uint64)
     for i in range(k):
         acc ^= th[i : i + n] * mults[i]

@@ -43,9 +43,9 @@ def _band_exprs(col: str, radius: int, bits: int = 64) -> list:
         exprs.append(
             F.struct(
                 F.lit(i).alias("band_idx"),
-                (F.shiftrightunsigned(F.col(col), offset) & F.lit(mask)).alias(
-                    "band_bits"
-                ),
+                F.shiftrightunsigned(F.col(col), offset)
+                .bitwiseAND(F.lit(mask).cast("long"))
+                .alias("band_bits"),
             )
         )
         offset += wdt

@@ -82,6 +82,69 @@ def containment_pairs(
     )
 
 
+def exact_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "image_id",
+    text_col: str = "caption",
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    threshold: float | None = None,
+    max_posting: int | None = None,
+    min_tokens: int | None = None,
+) -> DataFrame:
+    """Exact shingle-Jaccard pairs via the same inverted-index join as
+    `containment_pairs` — the deterministic ground-truth path that the
+    MinHash LSH tier approximates. (id1, id2, jaccard) with id1 < id2,
+    jaccard = |S1∩S2| / |S1∪S2| >= threshold.
+
+    With `max_posting=None` the result is exact over the whole corpus
+    (pairs sharing zero shingles have jaccard 0 and can never pass a
+    positive threshold, so the inverted index IS exhaustive). At 100 TB
+    pass a posting cap — a shingle shared by thousands of docs carries
+    ~no signal and the cap bounds join fan-out; the capped variant is the
+    scale path, the uncapped one the small-scale oracle.
+
+    `min_tokens` drops docs shorter than the shingle width instead of
+    padding them (parity with SQL oracles that cannot express padding).
+    """
+    threshold = cfg.jaccard_threshold if threshold is None else threshold
+    base = df
+    if min_tokens is not None:
+        base = base.filter(
+            F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")) >= min_tokens
+        )
+    sh = shingle_explode_udf(cfg)
+    shingled = base.select(
+        F.col(id_col).alias("_id"), sh(F.col(text_col)).alias("_sh")
+    ).filter(F.col("_sh").isNotNull())
+    sizes = shingled.select("_id", F.size("_sh").alias("_sz"))
+    posts = shingled.select("_id", F.explode("_sh").alias("shingle"))
+    shared_keys = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("_n")).filter(
+        F.col("_n") >= 2
+    )
+    if max_posting is not None:
+        shared_keys = shared_keys.filter(F.col("_n") <= max_posting)
+    posts = posts.join(shared_keys.select("shingle"), on="shingle", how="left_semi")
+    p1 = posts.select("shingle", F.col("_id").alias("id1"))
+    p2 = posts.select("shingle", F.col("_id").alias("id2"))
+    shared = (
+        p1.join(p2, on="shingle")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+    z1 = sizes.select(F.col("_id").alias("id1"), F.col("_sz").alias("_sz1"))
+    z2 = sizes.select(F.col("_id").alias("id2"), F.col("_sz").alias("_sz2"))
+    return (
+        shared.join(z1, "id1").join(z2, "id2")
+        .withColumn(
+            "jaccard",
+            F.col("_shared") / (F.col("_sz1") + F.col("_sz2") - F.col("_shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
 def substring_pairs_in_partition(
     df: DataFrame,
     id_col: str = "image_id",
