@@ -21,13 +21,13 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dedup_spark.config import DEFAULT_CONFIG, DedupConfig
 from dedup_spark.functions import text as TX
 from dedup_spark.operators.canonical import with_canonical
 from dedup_spark.operators.components import clusters_from_pairs, connected_components
-from dedup_spark.operators.embeddings import _dot, _norm, ann_verified_pairs
+from dedup_spark.operators.embeddings import ann_verified_pairs, cosine_scores_gemm
 from dedup_spark.operators.exact import duplicate_stats, exact_duplicate_clusters
 from dedup_spark.operators.minhash import minhash_near_duplicates
 from dedup_spark.operators.simhash import phash_near_duplicates, simhash_text_udf
@@ -164,27 +164,6 @@ p AS (
   FROM v a JOIN v b ON a.vec_id < b.vec_id
 )
 """
-
-
-def _cosine_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("ve")
-    )
-    emb = emb.withColumn("nrm", _norm(F.col("ve")))
-    a = emb.select(
-        F.col("vec_id").alias("id1"), F.col("ve").alias("v1"), F.col("nrm").alias("n1")
-    )
-    b = emb.select(
-        F.col("vec_id").alias("id2"), F.col("ve").alias("v2"), F.col("nrm").alias("n2")
-    )
-    return (
-        a.join(b, F.col("id1") < F.col("id2"))
-        .withColumn(
-            "cosine",
-            F.round(_dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 6),
-        )
-        .select("id1", "id2", "cosine")
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -327,27 +306,15 @@ def q_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force exact cosine similarity pairs >= threshold."""
-    scored = _cosine_scored(spark, sf_dir)
-    return scored.filter(F.col("cosine") >= COSINE_T)
+    """Brute-force exact cosine similarity pairs >= threshold, via
+    broadcast-corpus GEMM (one BLAS call per Arrow batch)."""
+    return cosine_scores_gemm(_emb(spark, sf_dir), threshold=COSINE_T)
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force top-k cosine neighbors per vector (both directions),
-    rank ordered by (rounded cosine desc, neighbor_id)."""
-    scored = _cosine_scored(spark, sf_dir)
-    sym = scored.select(
-        F.col("id1").alias("query_id"), F.col("id2").alias("neighbor_id"), "cosine"
-    ).unionByName(
-        scored.select(
-            F.col("id2").alias("query_id"), F.col("id1").alias("neighbor_id"), "cosine"
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        sym.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= TOPK)
-    )
+    """Brute-force top-k cosine neighbors per vector via GEMM, rank
+    ordered by (rounded cosine desc, neighbor_id)."""
+    return cosine_scores_gemm(_emb(spark, sf_dir), topk=TOPK)
 
 
 # ----- rows-only queries (no SQL equivalent: approximate / iterative /

@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": sec, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query is materialized through Spark's `noop` sink — full execution,
+no driver collect. The image pipeline runs over a deterministic
+synthesized image+caption corpus (input_hint schema), cached as parquet
+in /tmp keyed by (n_rows, seed) so generation cost never pollutes the
+measurement.
+
+Flags (used by tools/bench_scaling.py, not the driver):
+  --only NAME[,NAME...]   run a subset
+  --image-rows N          override image-corpus size
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "exact_dup_clusters",
+    "dup_stats",
+    "canonical_assignments",
+    "text_stats",
+    "lang_id",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "containment_pairs",
+    "cc_clusters",
+    "cosine_pairs",
+    "cosine_topk",
+    "ann_cosine_pairs",
+    "simhash_text_pairs",
+]
+
+
+def _sf_value(sf_dir: str) -> float:
+    tail = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(tail.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def image_corpus_path(spark, n_rows: int, seed: int = 42) -> str:
+    """Deterministic image+caption corpus parquet, generated once."""
+    path = f"/tmp/dedup_spark_bench/images_n{n_rows}_s{seed}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from dedup_spark.fixtures.images import generate_corpus, to_spark
+
+        corpus = generate_corpus(
+            n_rows, dup_ratio=0.3, near_dup_ratio=0.1, profile="mixed", seed=seed
+        )
+        imgs, _ = to_spark(spark, corpus)
+        imgs.repartition(max(CPUS, 8)).write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_image_pipeline(spark, path: str):
+    """Flagship at-scale job: exact cascade + phash Hamming near-dups +
+    connected components + canonical marking, over the image table."""
+    from pyspark.sql import functions as F
+
+    from dedup_spark.operators.canonical import with_canonical
+    from dedup_spark.operators.components import clusters_from_pairs
+    from dedup_spark.operators.exact import exact_duplicate_clusters
+    from dedup_spark.operators.simhash import phash_near_duplicates
+
+    df = spark.read.parquet(path)
+    exact = exact_duplicate_clusters(df)  # (image_id, cluster_id, size, n)
+    near = phash_near_duplicates(df)  # (id1, id2, hamming)
+    edges = exact.select(
+        F.col("image_id").alias("id1"), F.col("cluster_id").alias("id2")
+    ).unionByName(near.select("id1", "id2"))
+    assigned = clusters_from_pairs(edges, all_ids=df, id_col="image_id")
+    return with_canonical(assigned.withColumnRenamed("image_id", "image_id"),
+                          id_col="image_id")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None)
+    ap.add_argument("--image-rows", type=int, default=None)
+    args = ap.parse_args()
+
+    from dedup_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("dedup_bench", cores=CPUS)
+    sf = _sf_value(SF_DIR)
+    n_images = args.image_rows or max(400, int(400_000 * max(sf, 0.001)))
+
+    names = HEADLINE + ["image_pipeline"]
+    if args.only:
+        names = args.only.split(",")
+
+    qs = entrymod.queries()
+    img_path = image_corpus_path(spark, n_images) if "image_pipeline" in names else None
+
+    def build(name):
+        if name == "image_pipeline":
+            return run_image_pipeline(spark, img_path)
+        return qs[name](spark, SF_DIR)
+
+    # warmup pass (JIT/code-cache/page-cache), then a timed pass —
+    # mirrors the reference harness's warmup-then-measure protocol
+    # (reference benchmark/runner.py:86-148)
+    times: dict[str, float] = {}
+    t_all = time.time()
+    for name in names:
+        build(name).write.format("noop").mode("overwrite").save()
+        t0 = time.time()
+        build(name).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+    del t_all  # value = steady-state suite time (sum of timed passes)
+    total = round(sum(times.values()), 3)
+
+    result = {
+        "metric": "dedup_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cpus": CPUS,
+        "image_rows": n_images if img_path else 0,
+    }
+    if "image_pipeline" in times:
+        result["images_per_sec"] = round(n_images / times["image_pipeline"], 1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

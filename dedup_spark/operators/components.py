@@ -57,12 +57,14 @@ def _large_star(edges: DataFrame) -> DataFrame:
     )
     mins = nbrs.groupBy("u").agg(F.min("v").alias("m"))
     mins = mins.withColumn("m", F.least("u", "m"))
+    # no .distinct() here: duplicate edges are harmless for the
+    # min-aggregations downstream and small-star's terminal distinct
+    # dedupes the iteration's output — saves one full shuffle per round
     return (
         nbrs.join(mins, "u")
         .filter(F.col("v") > F.col("u"))  # large neighbors only
         .select(F.col("m").alias("src"), F.col("v").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
     )
 
 
@@ -116,19 +118,34 @@ def connected_components(
                 e = spark.read.parquet(_ckpt_path(cfg, m["last_iteration"]))
     e = e.localCheckpoint(eager=True)
 
+    def _sig(df: DataFrame) -> tuple:
+        """Cheap edge-set fingerprint: (count, Σ xxhash64(src,dst)).
+        One partial-aggregatable job instead of two exceptAll joins;
+        the decimal sum cannot overflow and a multiset collision needs
+        a 128-bit coincidence."""
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).first()
+        return (row["n"], str(row["h"]))
+
+    prev = _sig(e)
     for it in range(start_iter, cfg.cc_max_iterations):
         with metrics.stage(f"iter_{it}"):
             e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
-            # converged iff the canonical edge multiset is unchanged
-            delta = e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
-            metrics.record(f"iter_{it}_edges", e2.count())
+            cur = _sig(e2)
+            metrics.record(f"iter_{it}_edges", cur[0])
+            converged = cur == prev
             if cfg.checkpoint_dir:
                 e2.write.mode("overwrite").parquet(_ckpt_path(cfg, it))
                 _manifest_path(cfg).write_text(
-                    json.dumps({"last_iteration": it, "converged": delta == 0})
+                    json.dumps({"last_iteration": it, "converged": converged})
                 )
-            e = e2
-            if delta == 0:
+            e, prev = e2, cur
+            if converged:
                 break
     else:
         raise RuntimeError(

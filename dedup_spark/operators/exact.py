@@ -90,14 +90,38 @@ def exact_duplicate_clusters(
     df: DataFrame,
     id_col: str = "image_id",
     payload_col: str = "bytes",
-    extra_keys: tuple[str, ...] = ("phash",),
+    extra_keys: tuple[str, ...] = ("phash", "w", "h", "fmt"),
     cfg: DedupConfig = DEFAULT_CONFIG,
+    fuse_full_hash: bool = True,
 ) -> DataFrame:
     """Full cascade → assignment table ``(id, cluster_id, size, n_members)``.
 
     cluster_id = min(id) within the byte-identical group (deterministic,
     no giant arrays materialized). Only rows that ARE duplicates appear,
     matching the reference's "groups with >=2 members" contract.
+
+    Payload-scan budget (the thing that matters at 100 TB): the
+    reference's per-file cascade avoids *reads*; in a columnar scan the
+    payload column is read in column-chunk passes, so the Spark-right
+    plan minimizes PASSES over the payload:
+
+      pass 1  keys only — ``length(payload)`` + extra keys (one scan,
+              nothing else computed), aggregated payload-free into the
+              stage-1 surviving-key set (broadcast back).
+      pass 2  stage-1 survivors only — the full-content sha in one
+              projection; the result is a slim (id, len, hash) table,
+              localCheckpointed so every later stage re-reads
+              ~100 B/row instead of the payload. The prefix-hash
+              grouping (H4) is *subsumed*: any full-hash group with
+              n>=2 trivially has a prefix-hash group with n>=2, so a
+              separate stage only saves full-hash CPU — and once the
+              payload is already in memory for the prefix, hashing the
+              rest costs less than a second scan ever would.
+
+    ``fuse_full_hash=False`` restores the reference-faithful 3-pass
+    shape (prefix-hash grouping first, full hash computed only for
+    prefix-hash survivors — the observable H4 operator). Identical
+    output either way; the flag only chooses scan-count vs hash-CPU.
     """
     payload = F.col(payload_col)
     base = (
@@ -106,31 +130,53 @@ def exact_duplicate_clusters(
     )
     if cfg.max_size is not None:
         base = base.filter(F.length(payload) <= cfg.max_size)
-
     base = base.withColumn("_len", F.length(payload))
-    keys1 = [*extra_keys, "_len"]
 
-    # stage 1: free-column grouping (size + phash)
-    s1 = semi_join_candidates(base, size_candidates(base, keys1), keys1)
+    # stage 1 key: metadata columns when available (phash/w/h/fmt are
+    # necessary conditions for byte equality and live in their own
+    # parquet column chunks, so the key-aggregate branch is
+    # column-pruned to kilobytes and NEVER decodes the payload — the
+    # true analog of the reference's "file size from metadata, content
+    # unread". The key branch deliberately skips the payload-derived
+    # filters too (an overcounted stage-1 group is harmless: the final
+    # HAVING n>=2 on the full hash is what defines a duplicate, and the
+    # survivor branch applies the row filters). Without metadata keys
+    # (e.g. text payloads) fall back to length(payload), which costs
+    # the one payload pass it always did.
+    if extra_keys:
+        keys1 = list(extra_keys)
+        key_src = df.select(*keys1)
+    else:
+        keys1 = ["_len"]
+        key_src = base
 
-    # stage 2: prefix hash over the first prefix_bytes of the payload
+    # the key aggregate projects away the payload before its shuffle
+    s1 = semi_join_candidates(base, size_candidates(key_src, keys1), keys1)
+
+    # stage 2(+3): hash pass over stage-1 survivors
     # (sha2 is built-in + codegen'd; exact-equality semantics only need
     # *a* collision-resistant hash, not BLAKE3 specifically — see
     # SURVEY.md §1.3)
     prefix = F.sha2(
         F.substring(F.col(payload_col).cast("binary"), 1, cfg.prefix_bytes), 256
     )
-    s2 = s1.withColumn("_psha", prefix)
+    full = F.sha2(F.col(payload_col).cast("binary"), 256)
     keys2 = [*keys1, "_psha"]
-    s2 = semi_join_candidates(s2, size_candidates(s2, keys2), keys2)
-
-    # stage 3: full-content hash → confirmed clusters
-    s3 = s2.withColumn("_fsha", F.sha2(F.col(payload_col).cast("binary"), 256))
     keys3 = ["_len", "_fsha"]
 
-    # assignment: min(id) per confirmed group, attached via the same
-    # aggregate-then-broadcast-join pattern (payload already droppable).
-    members = s3.select(id_col, "_len", "_fsha")
+    if fuse_full_hash:
+        # both hashes in the single payload pass; the prefix-hash
+        # grouping (H4) is subsumed by the final HAVING on the full
+        # hash, so no separate stage-2 semi-join — 2 fewer job barriers
+        hashed = s1.select(
+            id_col, "_len", full.alias("_fsha")
+        ).localCheckpoint(eager=True)  # slim table; payload never read again
+        members = hashed.select(id_col, "_len", "_fsha")
+    else:
+        s2 = s1.withColumn("_psha", prefix)
+        s2 = semi_join_candidates(s2, size_candidates(s2, keys2), keys2)
+        s3 = s2.withColumn("_fsha", full)
+        members = s3.select(id_col, "_len", "_fsha")
     groups = _materialize_keys(
         members.groupBy(*keys3)
         .agg(
