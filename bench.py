@@ -55,17 +55,39 @@ def _sf_value(sf_dir: str) -> float:
         return -1.0
 
 
+SLICE = 40_000
+
+
 def image_corpus_path(spark, n_rows: int, seed: int = 42) -> str:
-    """Deterministic image+caption corpus parquet, generated once."""
-    path = f"/tmp/dedup_spark_bench/images_n{n_rows}_s{seed}"
+    """Deterministic image+caption corpus parquet, generated once.
+
+    Built in <= SLICE-row slices (seed+slice_idx each) so driver memory
+    stays bounded at any corpus size; ids are offset per slice so they
+    stay globally unique. Duplicate/near-dup structure is within-slice,
+    which is fine for throughput benchmarking (the pipeline doesn't
+    know that, and cross-slice key collisions still get probed by the
+    groupBys)."""
+    path = f"/tmp/dedup_spark_bench/images_v2_n{n_rows}_s{seed}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         from dedup_spark.fixtures.images import generate_corpus, to_spark
 
-        corpus = generate_corpus(
-            n_rows, dup_ratio=0.3, near_dup_ratio=0.1, profile="mixed", seed=seed
-        )
-        imgs, _ = to_spark(spark, corpus)
-        imgs.repartition(max(CPUS, 8)).write.mode("overwrite").parquet(path)
+        tmp = path + ".tmp"
+        first = True
+        for lo in range(0, n_rows, SLICE):
+            n = min(SLICE, n_rows - lo)
+            corpus = generate_corpus(
+                n, dup_ratio=0.3, near_dup_ratio=0.1, profile="mixed",
+                seed=seed + lo // SLICE,
+            )
+            corpus.images["image_id"] = (
+                f"s{lo // SLICE:02d}/" + corpus.images["image_id"]
+            )
+            imgs, _ = to_spark(spark, corpus)
+            imgs.repartition(max(CPUS, 8)).write.mode(
+                "overwrite" if first else "append"
+            ).parquet(tmp)
+            first = False
+        os.rename(tmp, path)
     return path
 
 

@@ -63,6 +63,46 @@ def _tile_digest(seed_bytes: bytes, n: int) -> np.ndarray:
     return np.frombuffer((digest * reps)[:n], dtype=np.uint8).copy()
 
 
+def _digest_stream(seed_bytes: bytes, n: int) -> np.ndarray:
+    """Counter-mode sha256 stream: n NON-periodic deterministic bytes
+    (the tiled digest repeats every 32 bytes, which is fine as texture
+    but not as independent samples)."""
+    blocks = []
+    for ctr in range(n // 32 + 1):
+        blocks.append(hashlib.sha256(seed_bytes + ctr.to_bytes(4, "big")).digest())
+    return np.frombuffer(b"".join(blocks)[:n], dtype=np.uint8).copy()
+
+
+def _smooth_image(seed_bytes: bytes, w: int, h: int) -> np.ndarray:
+    """Deterministic photo-like image: a digest-seeded coarse 8x8 grid
+    bilinearly upsampled (low-frequency content dominates, so the DCT
+    perceptual hash is STABLE under small perturbations — like real
+    photos, unlike white noise) plus 10% tiled-digest texture for
+    byte-level uniqueness."""
+    grid = 8
+    coarse = (
+        _digest_stream(seed_bytes + b":grid", grid * grid * 3)
+        .reshape(grid, grid, 3)
+        .astype(np.float64)
+    )
+    ys = np.linspace(0.0, grid - 1.0, h)
+    xs = np.linspace(0.0, grid - 1.0, w)
+    y0 = np.floor(ys).astype(int)
+    x0 = np.floor(xs).astype(int)
+    y1 = np.minimum(y0 + 1, grid - 1)
+    x1 = np.minimum(x0 + 1, grid - 1)
+    fy = (ys - y0)[:, None, None]
+    fx = (xs - x0)[None, :, None]
+    img = (
+        coarse[y0][:, x0] * (1 - fy) * (1 - fx)
+        + coarse[y1][:, x0] * fy * (1 - fx)
+        + coarse[y0][:, x1] * (1 - fy) * fx
+        + coarse[y1][:, x1] * fy * fx
+    )
+    fine = _tile_digest(seed_bytes, w * h * 3).reshape(h, w, 3).astype(np.float64)
+    return np.clip(0.9 * img + 0.1 * fine, 0, 255).astype(np.uint8)
+
+
 def encode_ppm(pixels: np.ndarray) -> bytes:
     """P6 binary PPM: trivially decodable, uncompressed."""
     h, w, _ = pixels.shape
@@ -203,9 +243,7 @@ def generate_corpus(
             lo, hi = weights[band][1]
             w = int(rng.integers(lo, hi + 1))
             h = int(rng.integers(lo, hi + 1))
-            pixels = (
-                _tile_digest(f"{seed}:{i}".encode(), w * h * 3).reshape(h, w, 3)
-            )
+            pixels = _smooth_image(f"{seed}:{i}".encode(), w, h)
             rows.append(
                 {
                     "image_id": image_id,

@@ -1,0 +1,156 @@
+"""Near-duplicate tier tests: MinHash/LSH recall (the north-rule
+>=0.99 metric), SimHash Hamming guarantees, shingle containment,
+substring scan. Config pinned to DEFAULT_CONFIG (shingle_k=3,
+16 bands x 4 rows) — recall is only meaningful at a fixed config."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dedup_spark.config import DEFAULT_CONFIG, DedupConfig
+from dedup_spark.fixtures.images import IMAGES_SCHEMA, generate_corpus, to_spark
+from dedup_spark.operators.components import clusters_from_pairs
+from dedup_spark.operators.exact import exact_duplicate_clusters
+from dedup_spark.operators.minhash import band_candidates, minhash_near_duplicates
+from dedup_spark.operators.simhash import (
+    hamming_candidates,
+    phash_near_duplicates,
+)
+from dedup_spark.operators.suffix import (
+    containment_pairs,
+    exact_jaccard_pairs,
+    substring_pairs_in_partition,
+)
+
+
+def _caption_df(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "caption"])
+    )
+
+
+def test_minhash_finds_near_identical_captions(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    # end-token substitution changes only 1 of 13 trigrams -> j = 12/14
+    variant = base.replace("today", "tonight")
+    other = "completely different text about spark shuffles and parquet scans here now"
+    df = _caption_df(
+        spark, [("a", base), ("b", variant), ("c", other), ("d", base)]
+    )
+    pairs = {
+        (r["id1"], r["id2"])
+        for r in minhash_near_duplicates(df, "image_id", "caption").collect()
+    }
+    assert ("a", "b") in pairs  # near-dup caught
+    assert ("a", "d") in pairs  # exact caption is jaccard 1.0
+    assert not any("c" in p for p in pairs)  # unrelated never pairs
+
+
+def test_minhash_lsh_recall_on_generated_corpus(spark):
+    """North-rule metric: dup-pair recall >= 0.99 against ground-truth
+    cluster pairs, at the pinned shingle/band/row config. Exact tier +
+    caption-LSH tier + connected components, vs generator truth."""
+    corpus = generate_corpus(600, dup_ratio=0.25, near_dup_ratio=0.15, seed=7)
+    imgs, truth = to_spark(spark, corpus)
+
+    exact = exact_duplicate_clusters(imgs)
+    near_txt = minhash_near_duplicates(imgs, "image_id", "caption")
+    near_img = phash_near_duplicates(imgs)
+    edges = (
+        exact.select(F.col("image_id").alias("id1"), F.col("cluster_id").alias("id2"))
+        .unionByName(near_txt.select("id1", "id2"))
+        .unionByName(near_img.select("id1", "id2"))
+    )
+    assigned = clusters_from_pairs(edges, all_ids=imgs, id_col="image_id")
+
+    ours = {
+        r["image_id"]: r["cluster_id"] for r in assigned.collect()
+    }
+    true_pairs = corpus.true_pairs()
+    assert true_pairs, "generator produced no duplicate pairs"
+    found = sum(1 for a, b in true_pairs if ours[a] == ours[b])
+    recall = found / len(true_pairs)
+    assert recall >= 0.99, f"recall {recall:.4f} < 0.99 ({found}/{len(true_pairs)})"
+
+
+def test_lsh_band_bucket_star_guard(spark):
+    """A flood of identical captions must produce O(n) star edges, not
+    O(n^2) pairs, and CC must still recover the full cluster."""
+    n = 40
+    rows = [(f"x{i:03d}", "same caption for every single row here") for i in range(n)]
+    df = _caption_df(spark, rows)
+    pairs = band_candidates(df, "image_id", "caption", max_band_bucket=8)
+    n_pairs = pairs.count()
+    assert n_pairs < n * (n - 1) / 2  # star guard kicked in
+    cc = clusters_from_pairs(pairs, all_ids=df, id_col="image_id")
+    assert cc.select("cluster_id").distinct().count() == 1
+
+
+def test_hamming_radius_guarantee(spark):
+    """Pigeonhole banding: every pair within radius MUST be found;
+    pairs beyond radius MUST be rejected by the verify stage."""
+    base = 0x0123456789ABCDEF
+    rows = [
+        ("d0", base),
+        ("d1", base ^ 0b1),                      # distance 1
+        ("d3", base ^ 0b10101),                  # distance 3
+        ("d4", base ^ 0b1111),                   # distance 4 > radius 3
+        ("far", base ^ ((1 << 40) - 1)),         # distance 40
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["image_id", "phash"]))
+    got = {
+        (r["id1"], r["id2"]): r["hamming"]
+        for r in phash_near_duplicates(df).collect()
+    }
+    assert got[("d0", "d1")] == 1
+    assert got[("d0", "d3")] == 3
+    assert got[("d1", "d3")] == 2  # 0b1 ^ 0b10101 = 0b10100
+    assert ("d0", "d4") not in got  # distance 4 > radius: verified out
+    assert not any("far" in k for k in got)
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    long = " ".join(f"tok{i}" for i in range(60))
+    short = " ".join(f"tok{i}" for i in range(20, 28))  # contained run
+    df = _caption_df(spark, [("long", long), ("short", short)])
+    j = exact_jaccard_pairs(df, "image_id", "caption", threshold=0.7, min_tokens=3)
+    assert j.count() == 0  # jaccard ~ 6/58 — invisible to the jaccard tier
+    c = containment_pairs(df, "image_id", "caption", threshold=0.99)
+    rows = c.collect()
+    assert len(rows) == 1 and rows[0]["containment"] == 1.0
+
+
+def test_substring_scan_in_partition(spark):
+    df = _caption_df(
+        spark,
+        [
+            ("a", "needle in the middle"),
+            ("b", "xx needle in the middle yy plus more"),
+            ("c", "unrelated words entirely"),
+        ],
+    )
+    got = {
+        (r["id1"], r["id2"])
+        for r in substring_pairs_in_partition(df, "image_id", "caption", window=16).collect()
+    }
+    assert ("a", "b") in got
+    assert not any("c" in p for p in got)
+
+
+def test_jaccard_threshold_boundary(spark):
+    """Verify stage filters strictly below threshold."""
+    # 12 tokens -> 10 trigrams; change last 2 tokens -> 8 shared of 12
+    a = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12"
+    b = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 zz yy"
+    df = _caption_df(spark, [("a", a), ("b", b)])
+    # jaccard = 8/12 = 0.667 < 0.7 -> excluded
+    cfg = DEFAULT_CONFIG
+    out = minhash_near_duplicates(df, "image_id", "caption", cfg)
+    assert out.count() == 0
+    loose = DedupConfig(jaccard_threshold=0.6)
+    out2 = minhash_near_duplicates(df, "image_id", "caption", loose)
+    rows = out2.collect()
+    assert len(rows) == 1
+    assert abs(rows[0]["jaccard"] - 8 / 12) < 1e-9

@@ -1,0 +1,71 @@
+"""Text-analysis function tests (token counting, language ID, quality,
+fingerprint) + formatter goldens (reference src/util.rs:31-53)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dedup_spark.functions import text as TX
+from dedup_spark.functions.formatting import format_bytes, format_number
+
+
+def _one(spark, s, col):
+    df = spark.createDataFrame(pd.DataFrame({"t": [s]}))
+    return df.select(col(F.col("t")).alias("v")).first()["v"]
+
+
+def test_token_count(spark):
+    assert _one(spark, "", TX.token_count) == 0
+    assert _one(spark, "   ", TX.token_count) == 0
+    assert _one(spark, "one", TX.token_count) == 1
+    assert _one(spark, "  a\tb\nc  ", TX.token_count) == 3
+
+
+def test_lang_id_markers(spark):
+    assert _one(spark, "the cat is on the mat and happy", TX.lang_id) == "en"
+    assert _one(spark, "der hund und die katze ist da", TX.lang_id) == "de"
+    assert _one(spark, "le chat et la souris est ici", TX.lang_id) == "fr"
+    assert _one(spark, "el perro que corre es rapido los dias", TX.lang_id) == "es"
+    assert _one(spark, "我 的 书 是 在 那里", TX.lang_id) == "zh"
+    assert _one(spark, "zzz qqq www", TX.lang_id) == "und"
+
+
+def test_lang_id_tie_breaks_alphabetically(spark):
+    # "la" is a marker for BOTH es and fr -> tie -> alphabetical: es
+    assert _one(spark, "la la", TX.lang_id) == "es"
+
+
+def test_quality_score_bounds_and_monotony(spark):
+    good = "the quick brown fox jumps over a lazy dog in the bright morning light today"
+    bad = "!!! ??? ### $$$ %%%"
+    qg = _one(spark, good, TX.quality_score)
+    qb = _one(spark, bad, TX.quality_score)
+    assert 0.0 <= qb < qg <= 1.0
+
+
+def test_fingerprint_normalization_equivalence(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"t": ["Hello,   World!", "hello world", "hello  worlds"]})
+    )
+    fps = [r["v"] for r in df.select(TX.fingerprint(F.col("t")).alias("v")).collect()]
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]
+
+
+def test_format_number_golden():
+    # reference src/util.rs tests: spaces as thousands separators
+    assert format_number(0) == "0"
+    assert format_number(999) == "999"
+    assert format_number(1000) == "1 000"
+    assert format_number(1234567) == "1 234 567"
+
+
+def test_format_bytes_golden():
+    # reference src/util.rs: 1024 base, 2 decimals
+    assert format_bytes(0) == "0 B"
+    assert format_bytes(1023) == "1023 B"
+    assert format_bytes(1536) == "1.50 KB"
+    assert format_bytes(1024 * 1024) == "1.00 MB"
+    assert format_bytes(int(2.5 * 1024**3)) == "2.50 GB"
