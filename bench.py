@@ -93,23 +93,13 @@ def image_corpus_path(spark, n_rows: int, seed: int = 42) -> str:
 
 def run_image_pipeline(spark, path: str):
     """Flagship at-scale job: exact cascade + phash Hamming near-dups +
-    connected components + canonical marking, over the image table."""
-    from pyspark.sql import functions as F
-
-    from dedup_spark.operators.canonical import with_canonical
-    from dedup_spark.operators.components import clusters_from_pairs
-    from dedup_spark.operators.exact import exact_duplicate_clusters
-    from dedup_spark.operators.simhash import phash_near_duplicates
+    connected components + canonical marking, over the image table.
+    (Caption LSH is benchmarked separately on the documents table —
+    minhash_lsh_pairs — so this measures the image-payload tiers.)"""
+    from dedup_spark.pipeline import dedup_pipeline
 
     df = spark.read.parquet(path)
-    exact = exact_duplicate_clusters(df)  # (image_id, cluster_id, size, n)
-    near = phash_near_duplicates(df)  # (id1, id2, hamming)
-    edges = exact.select(
-        F.col("image_id").alias("id1"), F.col("cluster_id").alias("id2")
-    ).unionByName(near.select("id1", "id2"))
-    assigned = clusters_from_pairs(edges, all_ids=df, id_col="image_id")
-    return with_canonical(assigned.withColumnRenamed("image_id", "image_id"),
-                          id_col="image_id")
+    return dedup_pipeline(df, caption_col=None)
 
 
 def main() -> None:

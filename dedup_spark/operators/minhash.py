@@ -33,6 +33,8 @@ Scale notes:
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
@@ -73,9 +75,12 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     return np.unique(acc)
 
 
+@lru_cache(maxsize=1 << 20)
 def hash_token(tok: str) -> int:
     """Deterministic 64-bit FNV-1a over UTF-8 (stable across processes,
-    unlike Python's salted hash())."""
+    unlike Python's salted hash()). lru_cache: natural-language token
+    frequencies are Zipfian, so the per-executor cache turns the hot
+    path into a dict hit; the 2^20 bound caps worker memory."""
     h = 0xCBF29CE484222325
     for byte in tok.encode("utf-8"):
         h ^= byte

@@ -1,0 +1,157 @@
+"""Incremental (streaming) exact dedup — Structured Streaming surface.
+
+The reference is batch-only; at 10^12-image scale ingestion is
+continuous, so the exact tier needs an incremental form: every new
+micro-batch of rows is deduplicated against EVERYTHING seen so far
+without recomputing history. Design:
+
+  * state table (parquet/Iceberg): one row per distinct content hash
+    seen: (len, fsha, cluster_id) where cluster_id = the first image_id
+    that carried this content. Bounded by distinct-content count, not
+    row count; at a trillion rows this lives in Iceberg partitions
+    bucketed by hash prefix.
+  * foreachBatch (per micro-batch, exactly-once via the streaming
+    checkpoint): hash the batch payloads (single pass), join against
+    the state to attach existing clusters, self-group the remainder
+    within the batch, append newly-seen hashes to the state and the
+    assignments to the output — all idempotent MERGE-style writes
+    (re-running a batch after a crash converges, the reference's
+    "already linked -> skip", src/actions.rs:70-80).
+  * `windowed_dup_rate` shows the watermark/windowed-aggregation
+    surface for monitoring: per event-time window, share of rows whose
+    content was already seen.
+
+foreachBatch (not applyInPandasWithState) because the state is far too
+large for executor memory at target scale — it IS a table, and the
+join against it is ordinary Spark, optimized by the same rules as the
+batch tier.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dedup_spark.config import DEFAULT_CONFIG, DedupConfig
+
+
+def _batch_hashes(batch: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    p = F.col(payload_col)
+    return (
+        batch.filter(p.isNotNull() & (F.length(p) > 0))
+        .select(
+            F.col(id_col),
+            F.length(p).alias("len"),
+            F.sha2(p.cast("binary"), 256).alias("fsha"),
+        )
+    )
+
+
+def process_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    id_col: str = "image_id",
+    payload_col: str = "bytes",
+) -> None:
+    """One micro-batch: assign every row a cluster_id that is stable
+    across batches (first image_id ever seen with that content)."""
+    hashes = _batch_hashes(batch, id_col, payload_col).localCheckpoint(eager=True)
+
+    try:
+        state = spark.read.parquet(state_dir)
+    except Exception:  # first batch: empty state  # noqa: BLE001
+        state = None
+
+    # within-batch first-seen (min id per content) — handles dups that
+    # arrive together in one batch
+    batch_first = hashes.groupBy("len", "fsha").agg(
+        F.min(id_col).alias("_batch_min")
+    )
+    joined = hashes.join(batch_first, on=["len", "fsha"], how="inner")
+    if state is not None:
+        joined = joined.join(state, on=["len", "fsha"], how="left")
+        assigned = joined.withColumn(
+            "cluster_id", F.coalesce(F.col("cluster_id"), F.col("_batch_min"))
+        )
+    else:
+        assigned = joined.withColumn("cluster_id", F.col("_batch_min"))
+
+    out = assigned.select(id_col, "cluster_id", "len", "fsha").localCheckpoint(
+        eager=True
+    )
+
+    # append newly-seen content to the state (idempotent: anti-join
+    # makes a replayed batch a no-op)
+    new_state = (
+        out.groupBy("len", "fsha").agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    if state is not None:
+        new_state = new_state.join(state.select("len", "fsha"), on=["len", "fsha"], how="left_anti")
+    new_state.write.mode("append").parquet(state_dir)
+
+    # idempotent assignment append: drop ids already assigned
+    try:
+        existing = spark.read.parquet(out_dir).select(id_col)
+        fresh = out.join(existing, on=id_col, how="left_anti")
+    except Exception:  # noqa: BLE001
+        fresh = out
+    fresh.select(id_col, "cluster_id").write.mode("append").parquet(out_dir)
+
+
+def start_incremental_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "image_id",
+    payload_col: str = "bytes",
+    available_now: bool = True,
+):
+    """readStream(parquet dir) → foreachBatch incremental dedup.
+
+    `available_now=True` drains what exists then stops (test/backfill
+    mode); False runs continuously with the default trigger."""
+    stream = (
+        spark.readStream.schema(schema).format("parquet").load(input_dir)
+    )
+
+    def _sink(batch: DataFrame, _bid: int) -> None:
+        process_batch(
+            batch.sparkSession, batch, state_dir, out_dir,
+            id_col=id_col, payload_col=payload_col,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_dup_rate(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    payload_col: str = "bytes",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Watermarked event-time window aggregate: rows vs distinct
+    contents per window — (window, rows, distinct_contents). Late rows
+    beyond the watermark are dropped by the engine, bounding state."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.approx_count_distinct(
+                F.sha2(F.col(payload_col).cast("binary"), 256)
+            ).alias("distinct_contents"),
+        )
+    )
