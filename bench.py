@@ -47,6 +47,39 @@ HEADLINE = [
 ]
 
 
+def _proc_cpu_seconds() -> float:
+    """Total CPU seconds of this process + live child JVMs (Linux).
+
+    Wall-clock on this sandbox is governed by a fluctuating,
+    oversubscribed host CPU; cpu-seconds per row is the
+    contention-independent cost measure (see BENCH/BASELINE.md)."""
+    import re
+
+    hz = os.sysconf("SC_CLK_TCK")
+    total = 0.0
+    me = os.getpid()
+    try:
+        with open("/proc/self/stat") as f:
+            parts = f.read().rsplit(")", 1)[1].split()
+        total += (int(parts[11]) + int(parts[12])) / hz  # utime+stime
+        total += (int(parts[13]) + int(parts[14])) / hz  # children (reaped)
+    except OSError:
+        return 0.0
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                raw = f.read()
+            comm = raw.split("(", 1)[1].rsplit(")", 1)[0]
+            rest = raw.rsplit(")", 1)[1].split()
+            if int(rest[1]) == me and re.search(r"java", comm):
+                total += (int(rest[11]) + int(rest[12])) / hz
+        except (OSError, IndexError, ValueError):
+            continue
+    return total
+
+
 def _sf_value(sf_dir: str) -> float:
     tail = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -132,13 +165,14 @@ def main() -> None:
     # mirrors the reference harness's warmup-then-measure protocol
     # (reference benchmark/runner.py:86-148)
     times: dict[str, float] = {}
-    t_all = time.time()
+    cpu: dict[str, float] = {}
     for name in names:
         build(name).write.format("noop").mode("overwrite").save()
-        t0 = time.time()
+        c0, t0 = _proc_cpu_seconds(), time.time()
         build(name).write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
-    del t_all  # value = steady-state suite time (sum of timed passes)
+        cpu[name] = round(_proc_cpu_seconds() - c0, 3)
+    # value = steady-state suite time (sum of timed passes)
     total = round(sum(times.values()), 3)
 
     result = {
@@ -150,8 +184,13 @@ def main() -> None:
         "cpus": CPUS,
         "image_rows": n_images if img_path else 0,
     }
+    result["cpu_sec"] = cpu
     if "image_pipeline" in times:
         result["images_per_sec"] = round(n_images / times["image_pipeline"], 1)
+        if cpu.get("image_pipeline"):
+            result["cpu_sec_per_kimg"] = round(
+                1000 * cpu["image_pipeline"] / n_images, 3
+            )
     print(json.dumps(result))
 
 
