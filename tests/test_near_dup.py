@@ -139,6 +139,27 @@ def test_substring_scan_in_partition(spark):
     assert not any("c" in p for p in got)
 
 
+def test_transitive_chain_across_tiers(spark):
+    """FIXTURES.md transitive_chain: A≈B (captions), B≈C (captions),
+    A!≈C directly — connected components must still cluster A,B,C."""
+    # 22 tokens -> 20 trigrams; one interior substitution changes 3
+    # trigrams: j(adjacent) = 17/23 ≈ 0.74 >= 0.7, two substitutions
+    # (a vs c) change 6: j(a,c) = 14/26 ≈ 0.54 < 0.7
+    base = [f"w{i}" for i in range(22)]
+    a = " ".join(base)
+    tb = list(base); tb[5] = "zz"
+    b = " ".join(tb)
+    tc = list(tb); tc[15] = "yy"
+    c = " ".join(tc)
+    df = _caption_df(spark, [("a", a), ("b", b), ("c", c)])
+    pairs = minhash_near_duplicates(df, "image_id", "caption")
+    got = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    assert ("a", "c") not in got  # below threshold directly
+    assert {("a", "b"), ("b", "c")} <= got
+    cc = clusters_from_pairs(pairs.select("id1", "id2"), all_ids=df, id_col="image_id")
+    assert {r["cluster_id"] for r in cc.collect()} == {"a"}
+
+
 def test_jaccard_threshold_boundary(spark):
     """Verify stage filters strictly below threshold."""
     # 12 tokens -> 10 trigrams; change last 2 tokens -> 8 shared of 12
