@@ -165,9 +165,9 @@ def exact_duplicate_clusters(
     keys3 = ["_len", "_fsha"]
 
     if fuse_full_hash:
-        # both hashes in the single payload pass; the prefix-hash
-        # grouping (H4) is subsumed by the final HAVING on the full
-        # hash, so no separate stage-2 semi-join — 2 fewer job barriers
+        # single payload pass computing the full hash directly; the
+        # prefix-hash grouping (H4) is subsumed by the final HAVING on
+        # the full hash, so no stage-2 semi-join — 2 fewer job barriers
         hashed = s1.select(
             id_col, "_len", full.alias("_fsha")
         ).localCheckpoint(eager=True)  # slim table; payload never read again
