@@ -119,18 +119,28 @@ def connected_components(
     e = e.localCheckpoint(eager=True)
 
     def _sig(df: DataFrame) -> tuple:
-        """Cheap edge-set fingerprint: (count, Σ xxhash64(src,dst)).
-        One partial-aggregatable job instead of two exceptAll joins;
-        the decimal sum cannot overflow and a multiset collision needs
-        a 128-bit coincidence."""
+        """Cheap edge-set fingerprint: (count, Σ h1, Σ h2) with two
+        INDEPENDENT xxhash64 folds (the second mixes in a constant, so
+        its hash stream is uncorrelated with the first). One
+        partial-aggregatable job instead of two exceptAll joins. A sum
+        multiset hash is weaker than a set compare — colliding subsets
+        can cancel — but a silent premature convergence now needs both
+        64-bit folds to collide simultaneously (~2^-128 per iteration),
+        and the count must match too."""
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(
                 F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
                 F.lit(0).cast("decimal(38,0)"),
-            ).alias("h"),
+            ).alias("h1"),
+            F.coalesce(
+                F.sum(
+                    F.xxhash64(F.lit(0x5EED), "src", "dst").cast("decimal(38,0)")
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h2"),
         ).first()
-        return (row["n"], str(row["h"]))
+        return (row["n"], str(row["h1"]), str(row["h2"]))
 
     prev = _sig(e)
     for it in range(start_iter, cfg.cc_max_iterations):

@@ -32,11 +32,29 @@ from pyspark.sql import Column, DataFrame, functions as F
 from dedup_spark.config import DEFAULT_CONFIG, DedupConfig
 
 
-def with_salt(df: DataFrame, buckets: int, col_name: str = "_salt") -> DataFrame:
-    """Uniform random salt column in [0, buckets). rand() is seeded per
-    task attempt — deterministic output does not depend on salt values,
-    only row→bucket spread, so retries are safe."""
-    return df.withColumn(col_name, (F.rand() * buckets).cast("int"))
+def with_salt(
+    df: DataFrame,
+    buckets: int,
+    col_name: str = "_salt",
+    salt_on: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic salt column in [0, buckets): pmod(xxhash64(cols)).
+
+    Deterministic (unlike rand()) so a task retry after a partial
+    shuffle fetch recomputes the SAME row→bucket assignment — a
+    non-deterministic salt can double-count rows in phase 1 when a
+    retried map task re-emits rows into different buckets than the
+    partially-fetched attempt did. xxhash64 over ``salt_on`` (default:
+    all columns) gives the same uniform spread. Caveat: fully identical
+    rows land in the same bucket; the salted aggregations here are
+    set-semantics (collect_set) or combinable (count), where identical
+    rows carry no extra reducer work, so the spread still holds where
+    it matters — pass a row-unique id in ``salt_on`` when one exists.
+    """
+    cols = salt_on if salt_on is not None else df.columns
+    return df.withColumn(
+        col_name, F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(buckets)).cast("int")
+    )
 
 
 def salted_collect_set(

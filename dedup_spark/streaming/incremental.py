@@ -18,8 +18,10 @@ without recomputing history. Design:
     (re-running a batch after a crash converges, the reference's
     "already linked -> skip", src/actions.rs:70-80).
   * `windowed_dup_rate` shows the watermark/windowed-aggregation
-    surface for monitoring: per event-time window, share of rows whose
-    content was already seen.
+    surface for monitoring: per event-time window, row count vs
+    approximate distinct-content count (a within-window duplication
+    signal; cross-batch seen-before state lives in the state table,
+    not in this aggregate).
 
 foreachBatch (not applyInPandasWithState) because the state is far too
 large for executor memory at target scale — it IS a table, and the
@@ -142,8 +144,10 @@ def windowed_dup_rate(
     window: str = "1 minute",
     watermark: str = "2 minutes",
 ) -> DataFrame:
-    """Watermarked event-time window aggregate: rows vs distinct
-    contents per window — (window, rows, distinct_contents). Late rows
+    """Watermarked event-time window aggregate: rows vs APPROXIMATE
+    distinct contents per window — (window, rows, distinct_contents),
+    a within-window duplication-rate monitor. It carries no cross-window
+    "seen before" state (that is the state table's job); late rows
     beyond the watermark are dropped by the engine, bounding state."""
     return (
         stream_df.withWatermark(ts_col, watermark)

@@ -44,3 +44,16 @@ def test_salt_spreads_hot_key(spark):
         with_salt(df, 8).select("_salt").distinct().count()
     )
     assert n_buckets >= 4  # 500 rows over 8 buckets: all hit w.h.p.
+
+
+def test_salt_is_deterministic_across_runs(spark):
+    """Retry semantics: salt must be a pure function of row content so a
+    re-executed task reproduces the exact row→bucket assignment."""
+    df = _df(spark)
+    a = {(r["k"], r["v"]): r["_salt"] for r in with_salt(df, 8).collect()}
+    b = {(r["k"], r["v"]): r["_salt"] for r in with_salt(_df(spark), 8).collect()}
+    assert a == b
+    # and restricting the salt input to a subset of columns also holds
+    c = {(r["k"], r["v"]): r["_salt"] for r in with_salt(df, 8, salt_on=["v"]).collect()}
+    d = {(r["k"], r["v"]): r["_salt"] for r in with_salt(_df(spark), 8, salt_on=["v"]).collect()}
+    assert c == d
