@@ -65,12 +65,15 @@ def _prefix_payload(df: DataFrame) -> DataFrame:
     return df.withColumn("payload", F.substring("text", 1, 16))
 
 
-def _exact_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _exact_assignments(
+    spark: SparkSession, sf_dir: str, fuse_full_hash: bool = True
+) -> DataFrame:
     asg = exact_duplicate_clusters(
         _prefix_payload(_docs(spark, sf_dir)),
         id_col="doc_id",
         payload_col="payload",
         extra_keys=(),
+        fuse_full_hash=fuse_full_hash,
     )
     return asg.select(
         "doc_id",
@@ -174,6 +177,14 @@ p AS (
 def q_exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1+H4+H5: the 3-stage cascade → assignment table."""
     return _exact_assignments(spark, sf_dir)
+
+
+def q_exact_dup_clusters_3pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1+H4: the reference-faithful NON-fused cascade — prefix-hash
+    grouping (8 KiB window) as its own stage, full hash only for
+    prefix survivors (src/hasher.rs:77-79). Same output contract as
+    the fused plan, same oracle."""
+    return _exact_assignments(spark, sf_dir, fuse_full_hash=False)
 
 
 def q_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -394,6 +405,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_clusters": q_exact_dup_clusters,
+        "exact_dup_clusters_3pass": q_exact_dup_clusters_3pass,
         "dup_stats": q_dup_stats,
         "canonical_assignments": q_canonical_assignments,
         "action_summary": q_action_summary,
@@ -439,6 +451,15 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "exact_dup_clusters": _ORACLE_EXACT_GROUPS
+        + """
+SELECT d.doc_id, g.cluster_id,
+       CAST(length(substr(d.text, 1, 16)) AS BIGINT) AS size,
+       g.n_members
+FROM documents d JOIN g ON substr(d.text, 1, 16) = g.p
+""",
+        # same golden contract: the 3-pass cascade is an I/O plan
+        # choice, not a semantic one (SURVEY.md §1.2)
+        "exact_dup_clusters_3pass": _ORACLE_EXACT_GROUPS
         + """
 SELECT d.doc_id, g.cluster_id,
        CAST(length(substr(d.text, 1, 16)) AS BIGINT) AS size,

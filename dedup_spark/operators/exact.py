@@ -82,8 +82,24 @@ def semi_join_candidates(df: DataFrame, keys: DataFrame, key_cols: list[str]) ->
     cluster scale AQE falls back to shuffle join only if the key set is
     genuinely huge (meaning most data is duplicated — then the join is
     the right plan anyway).
+
+    The join is NULL-SAFE (`eqNullSafe` per key): stage-1 keys are
+    metadata columns that may legitimately be NULL (missing phash/w/h),
+    and the key aggregate counts NULL-keyed groups — a plain equi-join
+    would silently drop every such row, losing byte-identical
+    duplicates with missing metadata. EqualNullSafe is still an
+    equi-join predicate, so the broadcast hash join plan is unchanged.
     """
-    return df.join(F.broadcast(_materialize_keys(keys)), on=key_cols, how="left_semi")
+    from functools import reduce
+
+    right = _materialize_keys(keys).select(
+        *[F.col(c).alias(f"_k_{c}") for c in key_cols]
+    )
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(c).eqNullSafe(F.col(f"_k_{c}")) for c in key_cols],
+    )
+    return df.join(F.broadcast(right), on=cond, how="left_semi")
 
 
 def exact_duplicate_clusters(
@@ -122,6 +138,14 @@ def exact_duplicate_clusters(
     shape (prefix-hash grouping first, full hash computed only for
     prefix-hash survivors — the observable H4 operator). Identical
     output either way; the flag only chooses scan-count vs hash-CPU.
+
+    PRECONDITION on ``extra_keys`` metadata: stage-1 prunes on those
+    columns, so they must be deterministic functions of the payload
+    (same bytes ⇒ same phash/w/h/fmt). Externally-supplied or
+    inconsistent metadata splits true byte-duplicate groups — pass
+    ``extra_keys=()`` to fall back to the length-only stage-1 key
+    (one extra payload pass, reference-exact semantics). NULL metadata
+    is safe either way: NULL keys group and survive null-safely.
     """
     payload = F.col(payload_col)
     base = (

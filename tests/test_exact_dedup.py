@@ -212,6 +212,57 @@ def test_generated_corpus_full_recall(spark):
     assert found_pairs == corpus.true_pairs()
 
 
+def test_null_metadata_duplicates_still_group(spark):
+    # ADVICE r1: stage-1 groups on metadata keys — byte-identical rows
+    # with NULL phash/w/h/fmt must still group (null-safe semi-join)
+    px = _pixels(17)
+    r1, r2 = _row("n/1", px), _row("n/2", px)
+    for r in (r1, r2):
+        r["phash"] = None
+        r["w"] = None
+        r["h"] = None
+        r["fmt"] = None
+    unique = _row("u/1", _pixels(18))
+    unique["phash"] = None
+    df = _df(spark, [r1, r2, unique])
+    asg = exact_duplicate_clusters(df)
+    rows = {r["image_id"]: r["cluster_id"] for r in asg.collect()}
+    assert rows == {"n/1": "n/1", "n/2": "n/1"}
+
+
+@pytest.mark.parametrize("fuse", [True, False])
+def test_cascade_3pass_parity(spark, fuse):
+    # src/hasher.rs:77-79 H4 prefix-hash grouping: the non-fused 3-pass
+    # cascade must produce byte-identical output to the fused plan on
+    # the prefix-collision fixture AND a generated dup corpus
+    px1 = _pixels(4, w=64, h=64)
+    px2 = px1.copy()
+    px2[-1, -1, -1] ^= 0xFF  # same 8 KiB prefix, different tail
+    r1, r2 = _row("p/1", px1), _row("p/2", px2)
+    r2["phash"] = r1["phash"]
+    pd_ = _pixels(19)
+    rows = [r1, r2, _row("d/1", pd_), _row("d/2", pd_), _row("d/3", pd_)]
+    df = _df(spark, rows)
+    out = {
+        tuple(r)
+        for r in exact_duplicate_clusters(df, fuse_full_hash=fuse).collect()
+    }
+    assert out == {
+        ("d/1", "d/1", len(encode_ppm(pd_)), 3),
+        ("d/2", "d/1", len(encode_ppm(pd_)), 3),
+        ("d/3", "d/1", len(encode_ppm(pd_)), 3),
+    }
+
+
+def test_fused_vs_3pass_on_corpus(spark):
+    corpus = generate_corpus(150, dup_ratio=0.4, seed=7)
+    imgs, _ = to_spark(spark, corpus)
+    fused = {tuple(r) for r in exact_duplicate_clusters(imgs, fuse_full_hash=True).collect()}
+    threep = {tuple(r) for r in exact_duplicate_clusters(imgs, fuse_full_hash=False).collect()}
+    assert fused == threep
+    assert fused  # non-vacuous
+
+
 def test_unreadable_rows_skipped(spark):
     # src/hasher.rs:57-60 — null payloads silently dropped
     px = _pixels(16)
