@@ -44,6 +44,13 @@ from dedup_spark.sources.filters import apply_scan_filters
 
 K = DEFAULT_CONFIG.shingle_k  # 3-word shingles, pinned with the parity tests
 JACCARD_T = DEFAULT_CONFIG.jaccard_threshold  # 0.7
+# LSH-verified tier is oracle-compared at a BAND-SAFE threshold: at the
+# pinned 16 bands × 4 rows a pair at j=0.9 is missed by every band with
+# probability (1-0.9^4)^16 ≈ 4e-8, so set-equality vs the exact oracle
+# is corpus-independent. At 0.7 the miss probability is ~1.2% per pair —
+# an equality gate there would be a coin flip on unlucky corpora
+# (ADVICE r1). The exact tier (ngram_jaccard_pairs) still covers 0.7.
+MINHASH_T = 0.9
 CONTAIN_T = 0.8
 COSINE_T = 0.45
 TOPK = 5
@@ -140,14 +147,18 @@ scored AS (
 )
 """
 
-_ORACLE_JACCARD = (
-    _ORACLE_SHINGLE_PAIRS
-    + f"""
+def _oracle_jaccard(threshold: float) -> str:
+    return (
+        _ORACLE_SHINGLE_PAIRS
+        + f"""
 SELECT id1, id2, round(inter / (n1 + n2 - inter), 6) AS jaccard
 FROM scored
-WHERE inter / (n1 + n2 - inter) >= {JACCARD_T}
+WHERE inter / (n1 + n2 - inter) >= {threshold}
 """
-)
+    )
+
+
+_ORACLE_JACCARD = _oracle_jaccard(JACCARD_T)
 
 # deterministic double pipeline for cosine: promote float32 -> float64
 # FIRST, then sum — both engines accumulate sequentially in double, and
@@ -252,16 +263,23 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalization-equal duplicate groups (fingerprint = sha256 of
-    lowercased/punct-stripped/whitespace-collapsed text)."""
-    df = _docs(spark, sf_dir).withColumn("fp", TX.fingerprint(F.col("text")))
+    lowercased/punct-stripped/whitespace-collapsed text) — over the
+    fixture corpus captions, which carry injected case/punctuation
+    variants (norm_dup_ratio) so the groups are NON-vacuous: raw
+    equality misses them, the fingerprint tier must find them."""
+    df = _fixture_images(spark).withColumn(
+        "fp", TX.fingerprint(F.col("caption"))
+    )
     groups = (
         df.groupBy("fp")
-        .agg(F.min("doc_id").alias("cluster_id"), F.count(F.lit(1)).alias("n_members"))
+        .agg(F.min("image_id").alias("cluster_id"), F.count(F.lit(1)).alias("n_members"))
         .filter(F.col("n_members") >= 2)
     )
     return (
         df.join(F.broadcast(groups), on="fp", how="inner")
-        .select("doc_id", "cluster_id", F.col("n_members").cast("long").alias("n_members"))
+        .select(
+            "image_id", "cluster_id", F.col("n_members").cast("long").alias("n_members")
+        )
     )
 
 
@@ -279,14 +297,15 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH banding → candidates → exact-Jaccard verify. At the
-    pinned config (k=3, 16 bands × 4 rows) the candidate-miss
-    probability at j>=0.9 is ~1e-8, so the verified output equals the
-    exact pair set — checked against the same oracle."""
+    """MinHash-LSH banding → candidates → exact-Jaccard verify, at the
+    band-safe verified threshold (see MINHASH_T note): candidate miss
+    probability ≈ 4e-8 per pair, so the verified output equals the
+    exact j>=0.9 pair set independent of the corpus draw."""
     df = _docs(spark, sf_dir).filter(
         F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) >= K
     )
-    pairs = minhash_near_duplicates(df, id_col="doc_id", text_col="text")
+    cfg = DedupConfig(jaccard_threshold=MINHASH_T)
+    pairs = minhash_near_duplicates(df, id_col="doc_id", text_col="text", cfg=cfg)
     return pairs.select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -365,24 +384,38 @@ def q_substring_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _fixture_images(spark: SparkSession):
-    from dedup_spark.fixtures.images import generate_corpus, to_spark
+    """The pinned synthesized image+caption corpus (input_hint schema),
+    read from the SAME parquet file the DuckDB oracles read — golden
+    contract parity (reference tests/output_format.rs:58-99)."""
+    from dedup_spark.fixtures.materialize import fixture_images_parquet
 
-    corpus = generate_corpus(400, dup_ratio=0.3, near_dup_ratio=0.1, seed=42)
-    imgs, _truth = to_spark(spark, corpus)
-    return imgs
+    return spark.read.parquet(fixture_images_parquet())
 
 
 def q_image_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship image-payload path: full 3-stage cascade on the
-    deterministic synthesized image+caption corpus (input_hint schema)."""
+    deterministic synthesized image+caption corpus (input_hint schema),
+    plus the shortest-id canonical mark."""
     asg = exact_duplicate_clusters(_fixture_images(spark))
-    return with_canonical(asg)
+    return with_canonical(asg).select(
+        "image_id",
+        "cluster_id",
+        F.col("size").cast("long").alias("size"),
+        F.col("n_members").cast("long").alias("n_members"),
+        "is_canonical",
+    )
 
 
 def q_phash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-banded Hamming-ball near-dup pairs over the 64-bit
-    perceptual hash of the synthesized image corpus."""
-    return phash_near_duplicates(_fixture_images(spark))
+    perceptual hash of the synthesized image corpus. Banding is
+    pigeonhole-exact (radius+1 disjoint bands ⇒ any pair within the
+    radius shares a band), so the verified output equals the exact
+    Hamming self-join the oracle computes."""
+    pairs = phash_near_duplicates(_fixture_images(spark))
+    return pairs.select(
+        "id1", "id2", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -438,10 +471,18 @@ def oracle_sql() -> dict[str, str]:
         "'[!-/:-@\\[-`{-~]', '', 'g')))"
     )
     stop_hits = " + ".join(_tok_match(w) for w in TX.EN_STOPWORDS)
-    norm_text = (
-        "trim(regexp_replace(regexp_replace(lower(text), "
-        "'[!-/:-@\\[-`{-~]', ' ', 'g'), '\\s+', ' ', 'g'))"
-    )
+
+    def norm_sql(col: str) -> str:
+        return (
+            f"trim(regexp_replace(regexp_replace(lower({col}), "
+            "'[!-/:-@\\[-`{-~]', ' ', 'g'), '\\s+', ' ', 'g'))"
+        )
+
+    from dedup_spark.fixtures.materialize import fixture_images_parquet
+
+    # materializing here guarantees the file exists before DuckDB runs,
+    # regardless of whether the driver executes SQL before Spark
+    fixture = f"read_parquet('{fixture_images_parquet()}')"
     lang_cases = []
     langs = sorted(TX.LANG_MARKERS)  # de en es fr zh
     for i, lang in enumerate(langs):
@@ -529,16 +570,40 @@ SELECT doc_id,
 FROM s
 """,
         "fingerprint_dups": f"""
-WITH n AS (SELECT doc_id, {norm_text} AS nt FROM documents),
+WITH n AS (SELECT image_id, {norm_sql("caption")} AS nt FROM {fixture}),
 g AS (
-  SELECT nt, min(doc_id) AS cluster_id, CAST(count(*) AS BIGINT) AS n_members
+  SELECT nt, min(image_id) AS cluster_id, CAST(count(*) AS BIGINT) AS n_members
   FROM n GROUP BY nt HAVING count(*) >= 2
 )
-SELECT n.doc_id, g.cluster_id, g.n_members
+SELECT n.image_id, g.cluster_id, g.n_members
 FROM n JOIN g ON n.nt = g.nt
 """,
+        "image_exact_dedup": f"""
+WITH g AS (
+  SELECT bytes AS gb, min(image_id) AS cluster_id,
+         CAST(count(*) AS BIGINT) AS n_members,
+         CAST(max(octet_length(bytes)) AS BIGINT) AS gsize
+  FROM {fixture}
+  WHERE bytes IS NOT NULL AND octet_length(bytes) >= 1
+  GROUP BY bytes HAVING count(*) >= 2
+),
+m AS (
+  SELECT i.image_id, g.cluster_id, g.gsize AS size, g.n_members
+  FROM {fixture} i JOIN g ON i.bytes = g.gb
+)
+SELECT image_id, cluster_id, size, n_members,
+       row_number() OVER (PARTITION BY cluster_id
+            ORDER BY length(image_id), image_id) = 1 AS is_canonical
+FROM m
+""",
+        "phash_hamming_pairs": f"""
+SELECT a.image_id AS id1, b.image_id AS id2,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM {fixture} a JOIN {fixture} b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
+""",
         "ngram_jaccard_pairs": _ORACLE_JACCARD,
-        "minhash_lsh_pairs": _ORACLE_JACCARD,
+        "minhash_lsh_pairs": _oracle_jaccard(MINHASH_T),
         "containment_pairs": _ORACLE_SHINGLE_PAIRS
         + f"""
 SELECT id1, id2, round(inter / least(n1, n2), 6) AS containment

@@ -183,12 +183,31 @@ class Corpus:
         return pairs
 
 
+def _norm_variant_caption(rng: np.random.Generator, caption: str) -> str:
+    """A caption that normalizes (lowercase + punct→space + collapse
+    whitespace) to the same fingerprint as the original: random
+    uppercasing, injected ASCII punctuation, doubled spaces, trailing
+    period. Mirrors the reference's duplicate-content assertions
+    (tests/duplicate_detection.rs:72-134) on the normalization axis."""
+    words = caption.split()
+    out = []
+    for wrd in words:
+        if rng.random() < 0.4:
+            wrd = wrd.upper() if rng.random() < 0.5 else wrd.capitalize()
+        if rng.random() < 0.25:
+            wrd = wrd + ","
+        out.append(wrd)
+    sep = "  " if rng.random() < 0.3 else " "
+    return sep.join(out) + ("." if rng.random() < 0.7 else "")
+
+
 def generate_corpus(
     n_rows: int,
     dup_ratio: float = 0.3,
     profile: str = "mixed",
     seed: int = 42,
     near_dup_ratio: float = 0.0,
+    norm_dup_ratio: float = 0.0,
     fmts: tuple[str, ...] = ("ppm",),
 ) -> Corpus:
     """Build the corpus.
@@ -198,6 +217,10 @@ def generate_corpus(
     near_dup_ratio: probability a row is a NEAR duplicate — same image
     with a small pixel perturbation (PSNR >= 40 dB) + caption with one
     token substituted; exact tier must NOT group these, near-dup tier must.
+    norm_dup_ratio: probability a row is a NORMALIZATION duplicate — a
+    FRESH unique image whose caption is a case/punctuation variant of a
+    prior unique's caption; the exact and near-dup image tiers must not
+    group it, the caption-fingerprint tier must.
     """
     rng = np.random.default_rng(seed)
     weights = PROFILES[profile]
@@ -238,6 +261,27 @@ def generate_corpus(
                 }
             )
             truth.append({"image_id": image_id, "cluster_id": src["image_id"]})
+        elif uniques and r < dup_ratio + near_dup_ratio + norm_dup_ratio:
+            # normalization dup: fresh image, caption normalizes equal
+            src = rows[uniques[int(rng.integers(0, len(uniques)))]]
+            band = int(rng.choice(len(weights), p=probs))
+            lo, hi = weights[band][1]
+            w = int(rng.integers(lo, hi + 1))
+            h = int(rng.integers(lo, hi + 1))
+            pixels = _smooth_image(f"{seed}:norm:{i}".encode(), w, h)
+            rows.append(
+                {
+                    "image_id": image_id,
+                    "bytes": encode_ppm(pixels),
+                    "w": w,
+                    "h": h,
+                    "fmt": fmt,
+                    "caption": _norm_variant_caption(rng, src["caption"]),
+                    "phash": int(phash64(pixels)),
+                }
+            )
+            uniques.append(i)
+            truth.append({"image_id": image_id, "cluster_id": image_id})
         else:
             band = int(rng.choice(len(weights), p=probs))
             lo, hi = weights[band][1]
