@@ -366,11 +366,18 @@ def q_ann_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash over tokens + Hamming-band candidate join."""
+    """64-bit SimHash over tokens + Hamming-band candidate join. Banding
+    is pigeonhole-exact for the radius, so the output equals the exact
+    Hamming self-join over the signatures — the oracle recomputes the
+    FULL signature pipeline (FNV-1a token hashes → ±1 bit accumulation
+    → majority sign) in SQL and compares pairs."""
     df = _docs(spark, sf_dir).select(
         "doc_id", simhash_text_udf()(F.col("text")).alias("sh")
     )
-    return phash_near_duplicates(df, id_col="doc_id", hash_col="sh")
+    pairs = phash_near_duplicates(df, id_col="doc_id", hash_col="sh")
+    return pairs.select(
+        "id1", "id2", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 def q_substring_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -604,6 +611,46 @@ WHERE bit_count(xor(a.phash, b.phash)) <= 3
 """,
         "ngram_jaccard_pairs": _ORACLE_JACCARD,
         "minhash_lsh_pairs": _oracle_jaccard(MINHASH_T),
+        # full SimHash signature recompute in SQL: FNV-1a over each
+        # token's bytes (ASCII corpus ⇒ ascii(char) = utf-8 byte;
+        # HUGEINT mod 2^64 emulates the wrapping multiply), ±1
+        # accumulation per bit, majority sign, exact Hamming self-join
+        "simhash_text_pairs": r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS arr
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+tok AS (SELECT doc_id, unnest(arr) AS tok FROM t),
+th AS (
+  SELECT doc_id, list_reduce(
+    list_prepend(14695981039346656037::UBIGINT,
+                 list_transform(string_split(tok, ''), c -> ascii(c)::UBIGINT)),
+    (acc, b) -> CAST((CAST(xor(acc, b) AS HUGEINT) * 1099511628211)
+                     % 18446744073709551616 AS UBIGINT)
+  ) AS h
+  FROM tok
+),
+bitscore AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN (h >> i) & 1::UBIGINT = 1::UBIGINT THEN 1 ELSE -1 END) AS score
+  FROM th, (SELECT unnest(range(64)) AS i)
+  GROUP BY doc_id, i
+),
+sig AS (
+  SELECT doc_id,
+         coalesce(sum(CASE WHEN score > 0 THEN (1::UBIGINT << i)::HUGEINT
+                      ELSE 0::HUGEINT END), 0::HUGEINT) AS s
+  FROM bitscore GROUP BY doc_id
+),
+su AS (SELECT doc_id, CAST(s AS UBIGINT) AS s FROM sig
+       UNION ALL  -- blank docs hash to signature 0, like the UDF
+       SELECT doc_id, 0::UBIGINT FROM documents
+       WHERE text IS NOT NULL AND trim(text) = '')
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+FROM su a JOIN su b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 3
+""",
         "containment_pairs": _ORACLE_SHINGLE_PAIRS
         + f"""
 SELECT id1, id2, round(inter / least(n1, n2), 6) AS containment

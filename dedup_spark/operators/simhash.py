@@ -132,29 +132,55 @@ def phash_near_duplicates(
 def simhash_text_udf(n_bits: int = 64):
     """pandas UDF: text → 64-bit SimHash over token FNV hashes.
 
-    Per-token ±1 accumulation across bit positions, vectorized with an
-    (n_tokens, 64) bit matrix per document.
+    Batch-vectorized like minhash_signature_udf: all docs' token hashes
+    are concatenated (tokenize + lru-cached FNV is the only per-token
+    Python), the (total_tokens, 64) ±1 bit matrix is built once, and
+    per-doc bit scores come from one np.add.reduceat segment reduction —
+    no per-document Python loop in the accumulation.
     """
 
     @F.pandas_udf(T.LongType())
     def _simhash(texts: pd.Series) -> pd.Series:
         shifts = np.arange(n_bits, dtype=np.uint64)
-        out = []
+        weights = np.uint64(1) << shifts
+        parts: list[np.ndarray] = []
+        offsets, n_toks = [0], []
+        nulls: list[bool] = []
+        total = 0
         for t in texts:
             if t is None:
-                out.append(None)
+                nulls.append(True)
+                offsets.append(total)
+                n_toks.append(0)
                 continue
+            nulls.append(False)
             toks = t.lower().split()
-            if not toks:
-                out.append(0)
-                continue
-            th = np.array([hash_token(tok) for tok in toks], dtype=np.uint64)
-            bits = ((th[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
-            score = (2 * bits - 1).sum(axis=0)
-            sig = np.uint64(0)
-            for i in np.nonzero(score > 0)[0]:
-                sig |= np.uint64(1) << np.uint64(i)
-            out.append(int(sig.astype(np.int64)))
-        return pd.Series(out, dtype="Int64")
+            if toks:
+                parts.append(
+                    np.array([hash_token(tok) for tok in toks], dtype=np.uint64)
+                )
+            total += len(toks)
+            offsets.append(total)
+            n_toks.append(len(toks))
+        n_docs = len(nulls)
+        sigs = np.zeros(n_docs, dtype=np.uint64)
+        if total:
+            concat = np.concatenate(parts)
+            bits = ((concat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+                np.int64
+            )  # (total_tokens, 64)
+            starts = np.array(offsets[:-1], dtype=np.int64)
+            nt = np.array(n_toks, dtype=np.int64)
+            nonempty = nt > 0
+            # reduceat needs strictly in-range starts; empty segments are
+            # excluded and stay all-zero (score<=0 → sig 0, as before)
+            ones = np.add.reduceat(bits, starts[nonempty], axis=0)
+            score = 2 * ones - nt[nonempty, None]  # ±1 accumulation
+            sigs[nonempty] = ((score > 0).astype(np.uint64) * weights).sum(axis=1)
+        out = sigs.view(np.int64)
+        return pd.Series(
+            [None if nulls[i] else int(out[i]) for i in range(n_docs)],
+            dtype="Int64",
+        )
 
     return _simhash
