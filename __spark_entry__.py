@@ -32,9 +32,9 @@ from dedup_spark.operators.exact import duplicate_stats, exact_duplicate_cluster
 from dedup_spark.operators.minhash import minhash_near_duplicates
 from dedup_spark.operators.simhash import phash_near_duplicates, simhash_text_udf
 from dedup_spark.operators.suffix import (
+    char_substring_pairs,
     containment_pairs,
     exact_jaccard_pairs,
-    substring_pairs_in_partition,
 )
 from dedup_spark.sources.filters import apply_scan_filters
 
@@ -380,13 +380,15 @@ def q_simhash_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SUBSTR_K = 24  # min contained-doc bytes — one winnowing gram width
+
+
 def q_substring_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact character-level substring pairs (per-partition bounded
-    suffix scan)."""
-    return substring_pairs_in_partition(
-        _docs(spark, sf_dir).withColumn("doc_id", F.col("doc_id").cast("string")),
-        id_col="doc_id",
-        text_col="text",
+    """Exact character-level substring pairs via the min-gram anchor
+    index (global recall for contained docs >= SUBSTR_K bytes; see
+    operators/suffix.py). id1 = contained doc, id2 = container."""
+    return char_substring_pairs(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text", k=SUBSTR_K
     )
 
 
@@ -656,6 +658,18 @@ WHERE bit_count(xor(a.s, b.s)) <= 3
 SELECT id1, id2, round(inter / least(n1, n2), 6) AS containment
 FROM scored
 WHERE inter / least(n1, n2) >= {CONTAIN_T}
+""",
+        # the min-gram anchor algorithm is exact (full recall >= k
+        # bytes, instr-verified precision), so the oracle is the plain
+        # quadratic substring self-join
+        "substring_containment": f"""
+SELECT a.doc_id AS id1, b.doc_id AS id2
+FROM documents a JOIN documents b ON a.doc_id <> b.doc_id
+WHERE a.text IS NOT NULL AND b.text IS NOT NULL
+  AND strlen(a.text) >= {SUBSTR_K}
+  AND (strlen(a.text) < strlen(b.text)
+       OR (strlen(a.text) = strlen(b.text) AND a.doc_id < b.doc_id))
+  AND position(a.text IN b.text) > 0
 """,
         "cc_clusters": _ORACLE_SHINGLE_PAIRS.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
         + f""",

@@ -21,7 +21,7 @@ from dedup_spark.operators.simhash import (
 from dedup_spark.operators.suffix import (
     containment_pairs,
     exact_jaccard_pairs,
-    substring_pairs_in_partition,
+    char_substring_pairs,
 )
 
 
@@ -122,7 +122,9 @@ def test_containment_catches_what_jaccard_misses(spark):
     assert len(rows) == 1 and rows[0]["containment"] == 1.0
 
 
-def test_substring_scan_in_partition(spark):
+def test_char_substring_global_recall(spark):
+    # containment must be found regardless of partition placement —
+    # the min-gram anchor join is global by construction
     df = _caption_df(
         spark,
         [
@@ -130,13 +132,37 @@ def test_substring_scan_in_partition(spark):
             ("b", "xx needle in the middle yy plus more"),
             ("c", "unrelated words entirely"),
         ],
+    ).repartition(8)  # scatter the rows
+    got = {
+        (r["id1"], r["id2"])
+        for r in char_substring_pairs(df, "image_id", "caption", k=8).collect()
+    }
+    assert got == {("a", "b")}
+
+
+def test_char_substring_equal_texts_once(spark):
+    df = _caption_df(
+        spark,
+        [("x", "identical caption text here"), ("y", "identical caption text here")],
     )
     got = {
         (r["id1"], r["id2"])
-        for r in substring_pairs_in_partition(df, "image_id", "caption", window=16).collect()
+        for r in char_substring_pairs(df, "image_id", "caption", k=8).collect()
     }
-    assert ("a", "b") in got
-    assert not any("c" in p for p in got)
+    assert got == {("x", "y")}  # tie rule: one row, id1 < id2
+
+
+def test_char_substring_min_length_contract(spark):
+    # contained docs shorter than k bytes are out of contract (and the
+    # container side still indexes fine)
+    df = _caption_df(spark, [("s", "tiny"), ("l", "tiny plus much longer text")])
+    got = char_substring_pairs(df, "image_id", "caption", k=8).collect()
+    assert got == []
+    got2 = {
+        (r["id1"], r["id2"])
+        for r in char_substring_pairs(df, "image_id", "caption", k=4).collect()
+    }
+    assert got2 == {("s", "l")}
 
 
 def test_transitive_chain_across_tiers(spark):
