@@ -351,17 +351,26 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # image-payload over the deterministic fixture corpus) -----
 
 
+ANN_BITS, ANN_TABLES, EMB_DIM = 6, 8, 64
+
+
 def q_ann_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH candidates verified by exact cosine — the
-    scale path for similarity search (approximate: bucket recall < 1)."""
-    # shorter signatures + more tables: P(bucket collision at cos=0.45)
-    # ≈ 1-(1-0.65^6)^8 ≈ 0.46 per table-set — sane recall for the demo
-    # threshold; production near-dup thresholds (≥0.9) use longer bits.
-    cfg = DedupConfig(cosine_threshold=COSINE_T, ann_hyperplanes=6, ann_tables=8)
+    """Hyperplane-LSH candidates verified by exact cosine — the scale
+    path for similarity search. Uses the AXIS-ALIGNED plane family
+    (sign of selected coordinates — pure built-in expressions), which
+    is deterministic and SQL-reproducible, so the DuckDB oracle checks
+    the ENTIRE tier: bucketing → candidate join → rounded-cosine
+    verify. The seeded random-gaussian family (hyperplane_signature_udf)
+    is the drop-in production alternative, pytest-covered."""
+    cfg = DedupConfig(
+        cosine_threshold=COSINE_T, ann_hyperplanes=ANN_BITS, ann_tables=ANN_TABLES
+    )
     emb = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    pairs = ann_verified_pairs(emb, id_col="vec_id", vec_col="embedding", cfg=cfg)
+    pairs = ann_verified_pairs(
+        emb, id_col="vec_id", vec_col="embedding", cfg=cfg, dim=EMB_DIM, planes="axis"
+    )
     return pairs.select("id1", "id2", F.round("cosine", 6).alias("cosine"))
 
 
@@ -689,6 +698,46 @@ reach(src, dst) AS (
 SELECT src AS doc_id, min(dst) AS cluster_id
 FROM reach GROUP BY src
 """,
+        # full ANN-tier recompute: axis-aligned sign buckets per table,
+        # bucket-equality candidates, rounded-cosine verify — exactly
+        # the Spark plan's semantics (star guard untriggered at this
+        # scale: max bucket ≪ 1024)
+        "ann_cosine_pairs": (
+            "WITH bk AS (\n"
+            + "\n  UNION ALL\n".join(
+                "  SELECT vec_id, {t} AS t, ({expr}) AS bucket FROM embeddings".format(
+                    t=t,
+                    expr=" + ".join(
+                        f"(CASE WHEN embedding[{(t * ANN_BITS + j) % EMB_DIM + 1}] > 0 "
+                        f"THEN {1 << j} ELSE 0 END)"
+                        for j in range(ANN_BITS)
+                    ),
+                )
+                for t in range(ANN_TABLES)
+            )
+            + """
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+  FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
+                      AND a.vec_id < b.vec_id
+),
+v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT c.id1, c.id2,
+         round(list_sum(list_transform(range(1, 65),
+               i -> a.ve[i] * b.ve[i])) / (a.nrm * b.nrm), 6) AS cosine
+  FROM cand c JOIN v a ON c.id1 = a.vec_id JOIN v b ON c.id2 = b.vec_id
+)
+"""
+            + f"SELECT id1, id2, cosine FROM scored WHERE cosine >= {COSINE_T}\n"
+        ),
         "cosine_pairs": _ORACLE_COSINE_BASE
         + f"""
 SELECT id1, id2, cosine FROM p WHERE cosine >= {COSINE_T}

@@ -67,6 +67,56 @@ def test_gemm_topk_matches_window_bruteforce(spark, vecs):
     assert agree / len(gemm) > 0.95
 
 
+def test_gemm_blocked_matches_single_block(spark, vecs):
+    # force 80 rows into ~7 blocks: the distributed block-pair plan must
+    # produce exactly the single-block answer (threshold and topk modes)
+    ids, sims = _numpy_sims(vecs)
+    want = {
+        (int(ids[i]), int(ids[j])): sims[i, j]
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if sims[i, j] >= 0.9
+    }
+    got = {
+        (r["id1"], r["id2"]): r["cosine"]
+        for r in cosine_scores_gemm(vecs, threshold=0.9, block_target=12).collect()
+    }
+    assert got == pytest.approx(want)
+    a = {
+        (r["query_id"], r["rnk"]): r["neighbor_id"]
+        for r in cosine_scores_gemm(vecs, topk=3, block_target=12).collect()
+    }
+    b = {
+        (r["query_id"], r["rnk"]): r["neighbor_id"]
+        for r in cosine_scores_gemm(vecs, topk=3).collect()
+    }
+    assert a == b
+    assert len(a) == 80 * 3
+
+
+def test_gemm_validates_mode_eagerly(spark, vecs):
+    with pytest.raises(ValueError):
+        cosine_scores_gemm(vecs)
+    with pytest.raises(ValueError):
+        cosine_scores_gemm(vecs, threshold=0.5, topk=3)
+
+
+def test_ann_axis_planes_match_random_soundness(spark, vecs):
+    cfg = DedupConfig(cosine_threshold=0.9, ann_hyperplanes=8, ann_tables=2)
+    ids, sims = _numpy_sims(vecs)
+    exact = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if sims[i, j] >= 0.9
+    }
+    got = {
+        (r["id1"], r["id2"])
+        for r in ann_verified_pairs(vecs, cfg=cfg, dim=16, planes="axis").collect()
+    }
+    assert got <= exact  # verification keeps the axis family sound too
+
+
 def test_ann_verified_pairs_are_sound_with_good_recall(spark, vecs):
     cfg = DedupConfig(cosine_threshold=0.9, ann_hyperplanes=8, ann_tables=8)
     ids, sims = _numpy_sims(vecs)
