@@ -315,8 +315,11 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _docs(spark, sf_dir).filter(
         F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) >= K
     )
+    # runs with the DEFAULT posting cap (the scale path); the oracle is
+    # uncapped — they agree because the corpus's max posting (7) is far
+    # below the cap, and the cap logs any drop if that ever changes
     pairs = containment_pairs(
-        df, id_col="doc_id", text_col="text", threshold=CONTAIN_T, max_posting=1 << 30
+        df, id_col="doc_id", text_col="text", threshold=CONTAIN_T
     )
     return pairs.select("id1", "id2", F.round("containment", 6).alias("containment"))
 

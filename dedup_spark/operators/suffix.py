@@ -61,21 +61,45 @@ def _count_and_log_drops(counts: DataFrame, cap: int, what: str) -> None:
         )
 
 
+def _capped_shared_keys(
+    posts: DataFrame, max_posting: int | None, log_drops: bool, what: str
+) -> DataFrame:
+    """Shared-shingle key set, capped at max_posting with LOGGED drops.
+
+    The stats aggregate is localCheckpointed: it is the broadcast-able
+    small side by construction (shared keys only), materializing it
+    means the expensive shingle pass behind it runs once for both the
+    drop count and the semi-join, and the join plan reads a leaf
+    instead of re-deriving the aggregate."""
+    counts = (
+        posts.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .localCheckpoint(eager=True)
+    )
+    if max_posting is not None:
+        if log_drops:
+            _count_and_log_drops(counts, max_posting, what)
+        counts = counts.filter(F.col("_n") <= max_posting)
+    return counts.select("shingle")
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str = "image_id",
     text_col: str = "caption",
     cfg: DedupConfig = DEFAULT_CONFIG,
     threshold: float = 1.0,
-    max_posting: int = 512,
+    max_posting: int | None = 512,
+    log_drops: bool = True,
 ) -> DataFrame:
     """(id1, id2, containment) where containment = |S1∩S2| / min(|S1|,|S2|)
     >= threshold. id1 < id2; the contained (smaller) doc can be either.
 
-    Posting lists longer than max_posting are dropped (a shingle shared
-    by thousands of docs carries no signal — standard IDF cutoff);
-    at 100 TB this is the difference between a sparse join and a
-    quadratic blowup.
+    Posting lists longer than max_posting are dropped WITH a logged
+    count (a shingle shared by thousands of docs carries no signal —
+    standard IDF cutoff); at 100 TB this is the difference between a
+    sparse join and a quadratic blowup. The cap is ON by default.
     """
     sh = shingle_explode_udf(cfg)
     shingled = df.select(
@@ -83,12 +107,8 @@ def containment_pairs(
     ).filter(F.col("_sh").isNotNull())
     sizes = shingled.select("_id", F.size("_sh").alias("_sz"))
     posts = shingled.select("_id", F.explode("_sh").alias("shingle"))
-    rare = (
-        posts.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter((F.col("_n") >= 2) & (F.col("_n") <= max_posting))
-    )
-    posts = posts.join(rare.select("shingle"), on="shingle", how="left_semi")
+    rare = _capped_shared_keys(posts, max_posting, log_drops, "containment_pairs")
+    posts = posts.join(rare, on="shingle", how="left_semi")
     p1 = posts.select("shingle", F.col("_id").alias("id1"))
     p2 = posts.select("shingle", F.col("_id").alias("id2"))
     shared = (
@@ -115,20 +135,22 @@ def exact_jaccard_pairs(
     text_col: str = "caption",
     cfg: DedupConfig = DEFAULT_CONFIG,
     threshold: float | None = None,
-    max_posting: int | None = None,
+    max_posting: int | None = 512,
     min_tokens: int | None = None,
+    log_drops: bool = True,
 ) -> DataFrame:
     """Exact shingle-Jaccard pairs via the same inverted-index join as
     `containment_pairs` — the deterministic ground-truth path that the
     MinHash LSH tier approximates. (id1, id2, jaccard) with id1 < id2,
     jaccard = |S1∩S2| / |S1∪S2| >= threshold.
 
-    With `max_posting=None` the result is exact over the whole corpus
-    (pairs sharing zero shingles have jaccard 0 and can never pass a
-    positive threshold, so the inverted index IS exhaustive). At 100 TB
-    pass a posting cap — a shingle shared by thousands of docs carries
-    ~no signal and the cap bounds join fan-out; the capped variant is the
-    scale path, the uncapped one the small-scale oracle.
+    The posting cap is ON by default, with dropped-key counts logged
+    (no silent caps): a shingle shared by thousands of docs carries
+    ~no signal, and one uncapped stopword-shingle explodes the join
+    quadratically at 100×. Pass ``max_posting=None`` for the exhaustive
+    small-corpus oracle variant (pairs sharing zero shingles have
+    jaccard 0 and can never pass a positive threshold, so the uncapped
+    inverted index IS exact).
 
     `min_tokens` drops docs shorter than the shingle width instead of
     padding them (parity with SQL oracles that cannot express padding).
@@ -145,12 +167,10 @@ def exact_jaccard_pairs(
     ).filter(F.col("_sh").isNotNull())
     sizes = shingled.select("_id", F.size("_sh").alias("_sz"))
     posts = shingled.select("_id", F.explode("_sh").alias("shingle"))
-    shared_keys = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("_n")).filter(
-        F.col("_n") >= 2
+    shared_keys = _capped_shared_keys(
+        posts, max_posting, log_drops, "exact_jaccard_pairs"
     )
-    if max_posting is not None:
-        shared_keys = shared_keys.filter(F.col("_n") <= max_posting)
-    posts = posts.join(shared_keys.select("shingle"), on="shingle", how="left_semi")
+    posts = posts.join(shared_keys, on="shingle", how="left_semi")
     p1 = posts.select("shingle", F.col("_id").alias("id1"))
     p2 = posts.select("shingle", F.col("_id").alias("id2"))
     shared = (

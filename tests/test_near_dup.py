@@ -122,6 +122,23 @@ def test_containment_catches_what_jaccard_misses(spark):
     assert len(rows) == 1 and rows[0]["containment"] == 1.0
 
 
+def test_posting_cap_drops_flood_shingles_loudly(spark, caplog):
+    import logging
+
+    rows = [(f"d{i}", "common words here exactly now") for i in range(6)]
+    df = _caption_df(spark, rows)
+    with caplog.at_level(logging.WARNING, logger="dedup_spark.operators.suffix"):
+        capped = exact_jaccard_pairs(
+            df, "image_id", "caption", threshold=0.9, max_posting=3
+        )
+        assert capped.count() == 0  # every shared shingle is a flood → dropped
+    assert any("dropped" in r.message for r in caplog.records)
+    uncapped = exact_jaccard_pairs(
+        df, "image_id", "caption", threshold=0.9, max_posting=None
+    )
+    assert uncapped.count() == 15  # all C(6,2) identical-text pairs
+
+
 def test_char_substring_global_recall(spark):
     # containment must be found regardless of partition placement —
     # the min-gram anchor join is global by construction
