@@ -1,12 +1,19 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-Every operator from SURVEY.md §2 that is SQL-expressible gets a
-``queries()`` entry AND a matching ``oracle_sql()`` entry (DuckDB runs
-the SQL on the same parquet tables; the driver compares row count,
-schema, and an order-insensitive value hash). Non-SQL-expressible
-operators (LSH-approximate candidate generation, per-partition
-substring scan, image-payload pipelines over the synthesized fixture
-corpus) appear in ``queries()`` only → rows-only check.
+EVERY ``queries()`` entry has a matching ``oracle_sql()`` entry (DuckDB
+runs the SQL on the same parquet tables; the driver compares row count,
+schema, and an order-insensitive value hash) — zero rows-only queries.
+The approximate tiers are made oracle-checkable by construction:
+  * LSH banding (MinHash 16×4) is compared at a band-safe threshold
+    where the candidate-miss probability is ~4e-8 (see MINHASH_T);
+  * Hamming banding is pigeonhole-EXACT for its radius, so SimHash and
+    phash tiers equal a plain Hamming self-join (which SQL computes,
+    including a full FNV-1a/SimHash signature recompute in DuckDB);
+  * the ANN tier ships the axis-aligned hyperplane family (sign
+    buckets = built-in expressions), reproduced bucket-for-bucket in
+    SQL; the seeded-gaussian family is the pytest-covered alternative;
+  * image-payload queries run on a pinned synthesized corpus written
+    once to parquet, read by BOTH engines (fixtures/materialize.py).
 
 Float-parity rules used throughout (so value hashes match bit-for-bit):
   * every exposed float column is ``round(x, 6)`` on BOTH sides;

@@ -32,6 +32,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 HEADLINE = [
     "exact_dup_clusters",
+    "exact_dup_clusters_3pass",
     "dup_stats",
     "canonical_assignments",
     "text_stats",
@@ -44,6 +45,7 @@ HEADLINE = [
     "cosine_topk",
     "ann_cosine_pairs",
     "simhash_text_pairs",
+    "substring_containment",
 ]
 
 

@@ -166,15 +166,20 @@ def simhash_text_udf(n_bits: int = 64):
         sigs = np.zeros(n_docs, dtype=np.uint64)
         if total:
             concat = np.concatenate(parts)
-            bits = ((concat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
-                np.int64
-            )  # (total_tokens, 64)
+            # bit matrix via unpackbits on the little-endian byte view —
+            # one C pass, no 8-byte-per-bit shift intermediate; bit j of
+            # the hash lands in column j exactly like (h >> j) & 1
+            bits = np.unpackbits(
+                concat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            )  # (total_tokens, 64) uint8
             starts = np.array(offsets[:-1], dtype=np.int64)
             nt = np.array(n_toks, dtype=np.int64)
             nonempty = nt > 0
             # reduceat needs strictly in-range starts; empty segments are
-            # excluded and stay all-zero (score<=0 → sig 0, as before)
-            ones = np.add.reduceat(bits, starts[nonempty], axis=0)
+            # excluded and stay all-zero (score<=0 → sig 0, as before).
+            # dtype=int32: uint8 inputs can't overflow it, and the int64
+            # accumulator path in numpy is ~16x slower here.
+            ones = np.add.reduceat(bits, starts[nonempty], axis=0, dtype=np.int32)
             score = 2 * ones - nt[nonempty, None]  # ±1 accumulation
             sigs[nonempty] = ((score > 0).astype(np.uint64) * weights).sum(axis=1)
         out = sigs.view(np.int64)
