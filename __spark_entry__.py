@@ -26,6 +26,7 @@ Float-parity rules used throughout (so value hashes match bit-for-bit):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -411,6 +412,35 @@ def q_substring_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tier, driver-checkable: replay the corpus as THREE
+    ordered micro-batches through the foreachBatch body
+    (streaming/incremental.py process_batch — content-hash state table,
+    idempotent appends). Batches ordered by doc_id, so the stable
+    cluster_id ("first id ever seen with this content") equals the
+    global min id per content group — which is exactly the SQL oracle.
+    Singletons included (the state table tracks every content)."""
+    import shutil
+
+    from dedup_spark.streaming.incremental import process_batch
+
+    base = f"/tmp/dedup_spark_stream_q/{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(base, ignore_errors=True)
+    state, out = f"{base}/state", f"{base}/out"
+    docs = _prefix_payload(_docs(spark, sf_dir)).select("doc_id", "payload")
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    cut = (int(hi) + 1) / 3
+    for b in range(3):
+        batch = docs.filter(F.col("doc_id") >= b * cut)
+        if b < 2:
+            batch = batch.filter(F.col("doc_id") < (b + 1) * cut)
+        process_batch(spark, batch, state, out, id_col="doc_id", payload_col="payload")
+    return spark.read.parquet(out).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
 def _fixture_images(spark: SparkSession):
     """The pinned synthesized image+caption corpus (input_hint schema),
     read from the SAME parquet file the DuckDB oracles read — golden
@@ -431,6 +461,20 @@ def q_image_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("size").cast("long").alias("size"),
         F.col("n_members").cast("long").alias("n_members"),
         "is_canonical",
+    )
+
+
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode path: PPM decode (pure numpy) → perceptual-hash
+    recompute in an Arrow-batched mapInPandas stage. The oracle is the
+    corpus's independently-stored phash column — equality proves the
+    whole decode → grayscale → DCT → median-threshold chain is
+    deterministic and correct end-to-end."""
+    from dedup_spark.multimodal.decode import extract_image_features
+
+    feats = extract_image_features(_fixture_images(spark))
+    return feats.select(
+        "image_id", "ok", F.col("recomputed_phash").alias("phash")
     )
 
 
@@ -478,12 +522,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "containment_pairs": q_containment_pairs,
         "cc_clusters": q_cc_clusters,
+        "incremental_dedup": q_incremental_dedup,
         "cosine_pairs": q_cosine_pairs,
         "cosine_topk": q_cosine_topk,
         "ann_cosine_pairs": q_ann_cosine_pairs,
         "simhash_text_pairs": q_simhash_text_pairs,
         "substring_containment": q_substring_containment,
         "image_exact_dedup": q_image_exact_dedup,
+        "image_features": q_image_features,
         "phash_hamming_pairs": q_phash_hamming_pairs,
     }
 
@@ -624,6 +670,9 @@ SELECT image_id, cluster_id, size, n_members,
             ORDER BY length(image_id), image_id) = 1 AS is_canonical
 FROM m
 """,
+        "image_features": f"""
+SELECT image_id, TRUE AS ok, phash FROM {fixture}
+""",
         "phash_hamming_pairs": f"""
 SELECT a.image_id AS id1, b.image_id AS id2,
        CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
@@ -677,6 +726,19 @@ WHERE bit_count(xor(a.s, b.s)) <= 3
 SELECT id1, id2, round(inter / least(n1, n2), 6) AS containment
 FROM scored
 WHERE inter / least(n1, n2) >= {CONTAIN_T}
+""",
+        # streaming replay: stable cluster = first id seen with the
+        # content; ordered batches make that the global min per group
+        "incremental_dedup": """
+WITH g AS (
+  SELECT substr(text, 1, 16) AS p, min(doc_id) AS cluster_id
+  FROM documents
+  WHERE text IS NOT NULL AND length(substr(text, 1, 16)) > 0
+  GROUP BY 1
+)
+SELECT d.doc_id, g.cluster_id
+FROM documents d JOIN g ON substr(d.text, 1, 16) = g.p
+WHERE d.text IS NOT NULL
 """,
         # the min-gram anchor algorithm is exact (full recall >= k
         # bytes, instr-verified precision), so the oracle is the plain
