@@ -211,6 +211,26 @@ def q_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_stats(_exact_assignments(spark, sf_dir))
 
 
+def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1/R3 group content — the reference's golden JSON contract
+    asserts each group's size AND its member list exactly
+    (tests/output_format.rs:58-99, DuplicateGroup src/output.rs:21-28).
+    Small-scale reporting path: members as a sorted comma-joined string
+    (the scale path keeps the assignment table and never materializes
+    arrays)."""
+    asg = _exact_assignments(spark, sf_dir)
+    return (
+        asg.groupBy("cluster_id")
+        .agg(
+            F.max("size").cast("long").alias("size"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("doc_id"))), ","
+            ).alias("members"),
+        )
+    )
+
+
 def q_canonical_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1: argmin-canonical member per cluster (shortest id, then lex —
     for non-negative integer ids this equals the numeric min)."""
@@ -512,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_clusters": q_exact_dup_clusters,
         "exact_dup_clusters_3pass": q_exact_dup_clusters_3pass,
         "dup_stats": q_dup_stats,
+        "dup_groups": q_dup_groups,
         "canonical_assignments": q_canonical_assignments,
         "action_summary": q_action_summary,
         "scan_filters": q_scan_filters,
@@ -580,6 +601,13 @@ SELECT d.doc_id, g.cluster_id,
        CAST(length(substr(d.text, 1, 16)) AS BIGINT) AS size,
        g.n_members
 FROM documents d JOIN g ON substr(d.text, 1, 16) = g.p
+""",
+        "dup_groups": _ORACLE_EXACT_GROUPS
+        + """
+SELECT g.cluster_id, g.gsize AS size, g.n_members,
+       (SELECT string_agg(CAST(d.doc_id AS VARCHAR), ',' ORDER BY d.doc_id)
+        FROM documents d WHERE substr(d.text, 1, 16) = g.p) AS members
+FROM g
 """,
         "dup_stats": _ORACLE_EXACT_GROUPS
         + """
