@@ -94,6 +94,28 @@ def test_gemm_blocked_matches_single_block(spark, vecs):
     assert len(a) == 80 * 3
 
 
+def test_gemm_string_ids(spark):
+    # id output type follows the input id type (no hardcoded long)
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(8)
+    rows = [(f"v{i:03d}", [float(x) for x in base + 0.01 * rng.standard_normal(8)])
+            for i in range(10)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    out = cosine_scores_gemm(df, threshold=0.99, block_target=4).collect()
+    assert out and all(isinstance(r["id1"], str) and r["id1"] < r["id2"] for r in out)
+    topk = cosine_scores_gemm(df, topk=2, block_target=4).collect()
+    assert {r["query_id"] for r in topk} == {f"v{i:03d}" for i in range(10)}
+
+
+def test_axis_planes_wrap_dim(spark, vecs):
+    # tables*bits > dim exercises the (t*bits + j) % dim coordinate wrap
+    from dedup_spark.operators.embeddings import ann_candidates
+
+    cfg = DedupConfig(ann_hyperplanes=8, ann_tables=4)  # 32 coords over dim 16
+    pairs = ann_candidates(vecs, cfg=cfg, dim=16, planes="axis").collect()
+    assert all(r["id1"] < r["id2"] for r in pairs)
+
+
 def test_gemm_validates_mode_eagerly(spark, vecs):
     with pytest.raises(ValueError):
         cosine_scores_gemm(vecs)
