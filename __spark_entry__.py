@@ -281,6 +281,25 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting for LLM training data: whitespace tokens,
+    BPE-ish subword tokens (shared RE2-safe pattern, see
+    functions/text.py SUBWORD_PATTERN), and chars-per-subword (the
+    merge-factor signal a real BPE vocab would tighten)."""
+    t = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        TX.token_count(t).cast("long").alias("ws_tokens"),
+        TX.subword_count(t).cast("long").alias("subword_tokens"),
+        F.round(
+            F.when(TX.subword_count(t) == 0, F.lit(0.0)).otherwise(
+                F.length(t) / TX.subword_count(t)
+            ),
+            6,
+        ).alias("chars_per_subword"),
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: argmax of per-language marker-token counts,
     alphabetical tie-break, 'und' when no marker hits."""
@@ -537,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "action_summary": q_action_summary,
         "scan_filters": q_scan_filters,
         "text_stats": q_text_stats,
+        "token_counts": q_token_counts,
         "lang_id": q_lang_id,
         "fingerprint_dups": q_fingerprint_dups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -658,6 +678,21 @@ SELECT doc_id,
               + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
                          ELSE {punct} / length(text) END) * 5)) / 4.0, 6) AS quality
 FROM documents
+""",
+        "token_counts": f"""
+WITH s AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_extract_all(text, '{TX.SUBWORD_PATTERN}')) END AS sw,
+         {toks_nonempty} AS ws
+  FROM documents
+)
+SELECT doc_id,
+       CAST(ws AS BIGINT) AS ws_tokens,
+       CAST(sw AS BIGINT) AS subword_tokens,
+       round(CASE WHEN sw = 0 THEN 0.0 ELSE length(text) / sw END, 6)
+         AS chars_per_subword
+FROM s
 """,
         "lang_id": f"""
 WITH s AS (

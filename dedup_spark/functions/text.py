@@ -33,6 +33,23 @@ def token_count(text: Column) -> Column:
     )
 
 
+#: BPE-ish pre-tokenizer approximation (GPT-2-style word/number/punct
+#: runs with leading-space attachment), restricted to constructs RE2
+#: also supports so the DuckDB oracle can run the SAME pattern.
+SUBWORD_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def subword_count(text: Column) -> Column:
+    """BPE-ish token count: number of SUBWORD_PATTERN matches — the
+    standard cheap stand-in for a real BPE vocab when budgeting LLM
+    training tokens (a true tokenizer splits long words further; this
+    undercounts by the subword-merge factor, which the chars-per-token
+    ratio column exposes)."""
+    return F.when(F.trim(text) == "", F.lit(0)).otherwise(
+        F.regexp_count(text, F.lit(SUBWORD_PATTERN))
+    )
+
+
 def _tokens(text: Column) -> Column:
     """Lowercased whitespace tokens — the shared tokenization for marker
     counting. One split, reused by every marker expression (Catalyst

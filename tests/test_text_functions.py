@@ -69,3 +69,22 @@ def test_format_bytes_golden():
     assert format_bytes(1536) == "1.50 KB"
     assert format_bytes(1024 * 1024) == "1.00 MB"
     assert format_bytes(int(2.5 * 1024**3)) == "2.50 GB"
+
+
+def test_subword_count_bpe_ish(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dedup_spark.functions.text import subword_count
+
+    rows = [
+        ("a", "hello world", 2),          # two word runs
+        ("b", "it's 2024!", 5),           # it + ' + s + 2024 + !
+        ("c", "", 0),
+        ("d", "   ", 0),
+        ("e", "co-op", 3),                # co + - + op
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["i", "t", "want"]))
+    got = {r["i"]: r["n"] for r in df.select("i", subword_count(F.col("t")).alias("n")).collect()}
+    want = {r[0]: r[2] for r in rows}
+    assert got == want
