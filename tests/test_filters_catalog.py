@@ -154,3 +154,31 @@ def test_write_table_iceberg_branch(spark, monkeypatch):
     calls.clear()
     catalog.write_table(df, "catalog.db.tbl2")
     assert calls == {"target": "catalog.db.tbl2", "committed": True}
+
+
+def test_partition_pruning_is_real(spark, tmp_path):
+    """S4 claim: exclude-glob subtree pruning ≙ partition pruning —
+    prove it mechanically: a filter on the partition column must appear
+    as PartitionFilters in the scan and prune the file list (the
+    pruned partition's files are never opened)."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": [f"img_{i}" for i in range(60)],
+                "src": (["keep"] * 30 + ["vendor"] * 30),
+                "n": list(range(60)),
+            }
+        )
+    )
+    p = str(tmp_path / "ptbl")
+    df.write.partitionBy("src").parquet(p)
+    back = spark.read.parquet(p).filter(F.col("src") == "keep")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "src" in plan.split("PartitionFilters")[1][:80]
+    assert back.count() == 30
+    # and the partition column never becomes a data filter (it would
+    # read the files and filter rows instead of skipping whole dirs)
+    pushed = plan.split("PushedFilters")[1][:120] if "PushedFilters" in plan else ""
+    assert "src" not in pushed
