@@ -139,6 +139,38 @@ def test_ann_axis_planes_match_random_soundness(spark, vecs):
     assert got <= exact  # verification keeps the axis family sound too
 
 
+def test_ivf_kmeans_recovers_clusters_and_pairs(spark, vecs):
+    from dedup_spark.operators.embeddings import ivf_verified_pairs, kmeans_centroids
+
+    import numpy as np2
+
+    cents = kmeans_centroids(vecs, k=8, iters=4)
+    assert cents.shape == (8, 16)
+    ids, sims = _numpy_sims(vecs)
+    exact = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if sims[i, j] >= 0.9
+    }
+    got = {
+        (r["id1"], r["id2"])
+        for r in ivf_verified_pairs(vecs, cents, threshold=0.9, n_probe=2).collect()
+    }
+    assert got <= exact  # sound
+    assert exact
+    recall = len(got) / len(exact)
+    assert recall >= 0.9, f"IVF recall {recall:.2f}"
+    # determinism: rebuilt centroids + pairs are identical
+    cents2 = kmeans_centroids(vecs, k=8, iters=4)
+    assert np2.array_equal(cents, cents2)
+    got2 = {
+        (r["id1"], r["id2"])
+        for r in ivf_verified_pairs(vecs, cents2, threshold=0.9, n_probe=2).collect()
+    }
+    assert got2 == got
+
+
 def test_ann_verified_pairs_are_sound_with_good_recall(spark, vecs):
     cfg = DedupConfig(cosine_threshold=0.9, ann_hyperplanes=8, ann_tables=8)
     ids, sims = _numpy_sims(vecs)
