@@ -151,8 +151,8 @@ def main() -> None:
 
         render(cells)
     except Exception:
-        md.append("\n*(matplotlib unavailable in this container — "
-                  "markdown heatmaps only)*")
+        md.append("\n*(matplotlib unavailable — run `python tools/matrix_svg.py` "
+                  "for the dependency-free SVG heatmaps in `BENCH/matrix.svg`)*")
     with open(os.path.join(REPO, "BENCH", "matrix.md"), "w") as f:
         f.write("\n".join(md) + "\n")
     bad = [c for c in cells if c["accuracy"] < 100.0]
