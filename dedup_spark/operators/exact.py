@@ -31,15 +31,9 @@ Scale design notes
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from dedup_spark.config import DEFAULT_CONFIG, DedupConfig
-
-
-def _payload_length(payload: Column, payload_kind: str) -> Column:
-    # length() is bytes for binary, chars for string — both are the
-    # "free" size key in the sense of the reference's file size.
-    return F.length(payload)
 
 
 def size_candidates(
