@@ -290,28 +290,12 @@ def ann_candidates(
         sig = axis_signature_col(vec_col, dim, cfg)
     else:
         sig = hyperplane_signature_udf(dim, cfg)(F.col(vec_col))
+    from dedup_spark.operators.banding import star_guarded_pairs
+
     bucketed = corpus.select(
         F.col(id_col).alias("_id"), F.posexplode(sig).alias("t", "bucket")
     )
-    stats = (
-        bucketed.groupBy("t", "bucket")
-        .agg(F.count(F.lit(1)).alias("_n"), F.min("_id").alias("_minid"))
-        .filter(F.col("_n") >= 2)
-    )
-    keyed = bucketed.join(stats, on=["t", "bucket"], how="inner")
-    small = keyed.filter(F.col("_n") <= max_bucket)
-    a = small.select("t", "bucket", F.col("_id").alias("id1"))
-    b = small.select("t", "bucket", F.col("_id").alias("id2"))
-    pairs_small = (
-        a.join(b, on=["t", "bucket"])
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
-    )
-    pairs_big = (
-        keyed.filter((F.col("_n") > max_bucket) & (F.col("_id") != F.col("_minid")))
-        .select(F.col("_minid").alias("id1"), F.col("_id").alias("id2"))
-    )
-    return pairs_small.unionByName(pairs_big).distinct()
+    return star_guarded_pairs(bucketed, ["t", "bucket"], max_bucket)
 
 
 def kmeans_centroids(
@@ -415,30 +399,13 @@ def ivf_verified_pairs(
         top = np.argsort(-sims, axis=1)[:, :nprobe]
         return pd.Series([row.tolist() for row in top])
 
+    from dedup_spark.operators.banding import star_guarded_pairs
+
     bucketed = corpus.select(
         F.col(id_col).alias("_id"),
         F.explode(_cells(F.col(vec_col))).alias("cell"),
     )
-    stats = (
-        bucketed.groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("_n"), F.min("_id").alias("_minid"))
-        .filter(F.col("_n") >= 2)
-    )
-    keyed = bucketed.join(stats, on="cell", how="inner")
-    small = keyed.filter(F.col("_n") <= max_cell)
-    a = small.select("cell", F.col("_id").alias("id1"))
-    b = small.select("cell", F.col("_id").alias("id2"))
-    pairs = (
-        a.join(b, on="cell")
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
-        .unionByName(
-            keyed.filter(
-                (F.col("_n") > max_cell) & (F.col("_id") != F.col("_minid"))
-            ).select(F.col("_minid").alias("id1"), F.col("_id").alias("id2"))
-        )
-        .distinct()
-    )
+    pairs = star_guarded_pairs(bucketed, ["cell"], max_cell)
     vecs = corpus.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),

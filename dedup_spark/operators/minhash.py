@@ -189,33 +189,15 @@ def band_candidates(
     Skew guard: buckets larger than max_band_bucket emit a star to the
     bucket min-id instead of all C(n,2) pairs (see module docstring).
     """
+    from dedup_spark.operators.banding import star_guarded_pairs
+
     sig = minhash_signature_udf(cfg)
     banded = (
         df.select(F.col(id_col).alias("_id"), sig(F.col(text_col)).alias("_bands"))
         .filter(F.col("_bands").isNotNull())
         .select("_id", F.posexplode("_bands").alias("band_idx", "band_hash"))
     )
-    # bucket stats for the skew guard — partial-agg friendly
-    stats = (
-        banded.groupBy("band_idx", "band_hash")
-        .agg(F.count(F.lit(1)).alias("_n"), F.min("_id").alias("_minid"))
-        .filter(F.col("_n") >= 2)
-    )
-    keyed = banded.join(stats, on=["band_idx", "band_hash"], how="inner")
-
-    small = keyed.filter(F.col("_n") <= max_band_bucket)
-    a = small.select("band_idx", "band_hash", F.col("_id").alias("id1"))
-    b = small.select("band_idx", "band_hash", F.col("_id").alias("id2"))
-    pairs_small = (
-        a.join(b, on=["band_idx", "band_hash"])
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
-    )
-    pairs_big = (
-        keyed.filter((F.col("_n") > max_band_bucket) & (F.col("_id") != F.col("_minid")))
-        .select(F.col("_minid").alias("id1"), F.col("_id").alias("id2"))
-    )
-    return pairs_small.unionByName(pairs_big).distinct()
+    return star_guarded_pairs(banded, ["band_idx", "band_hash"], max_band_bucket)
 
 
 def jaccard_verify(

@@ -62,6 +62,8 @@ def hamming_candidates(
     """Candidate pairs (id1, id2) with guaranteed recall for pairs within
     cfg.hamming_radius. Same oversized-bucket star guard as MinHash LSH
     (see minhash.py) for flood keys."""
+    from dedup_spark.operators.banding import star_guarded_pairs
+
     bands = (
         df.select(
             F.col(id_col).alias("_id"),
@@ -72,38 +74,9 @@ def hamming_candidates(
         )
         .select("_id", "_h", "b.band_idx", "b.band_bits")
     )
-    stats = (
-        bands.groupBy("band_idx", "band_bits")
-        .agg(F.count(F.lit(1)).alias("_n"), F.min("_id").alias("_minid"))
-        .filter(F.col("_n") >= 2)
+    return star_guarded_pairs(
+        bands, ["band_idx", "band_bits"], max_band_bucket, carry_cols=["_h"]
     )
-    keyed = bands.join(stats, on=["band_idx", "band_bits"], how="inner")
-    small = keyed.filter(F.col("_n") <= max_band_bucket)
-    a = small.select("band_idx", "band_bits", F.col("_id").alias("id1"), F.col("_h").alias("_h1"))
-    b = small.select("band_idx", "band_bits", F.col("_id").alias("id2"), F.col("_h").alias("_h2"))
-    pairs_small = (
-        a.join(b, on=["band_idx", "band_bits"])
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2", "_h1", "_h2")
-    )
-    big = keyed.filter(F.col("_n") > max_band_bucket)
-    big_min = big.select(
-        F.col("band_idx"), F.col("band_bits"), F.col("_minid")
-    ).distinct().join(
-        bands.select(F.col("_id").alias("_minid"), F.col("_h").alias("_h1")).distinct(),
-        on="_minid",
-    )
-    pairs_big = (
-        big.filter(F.col("_id") != F.col("_minid"))
-        .join(big_min, on=["band_idx", "band_bits", "_minid"])
-        .select(
-            F.col("_minid").alias("id1"),
-            F.col("_id").alias("id2"),
-            "_h1",
-            F.col("_h").alias("_h2"),
-        )
-    )
-    return pairs_small.unionByName(pairs_big).dropDuplicates(["id1", "id2"])
 
 
 def hamming_verify(pairs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:

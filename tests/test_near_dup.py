@@ -122,6 +122,25 @@ def test_containment_catches_what_jaccard_misses(spark):
     assert len(rows) == 1 and rows[0]["containment"] == 1.0
 
 
+def test_hamming_star_guard_carries_hashes(spark):
+    """Flood bucket in the Hamming tier: star edges only (O(n)), and
+    the carried hash columns must survive so the bit_count verify still
+    confirms every star edge (hamming 0 for identical phashes)."""
+    n = 30
+    rows = [(f"d{i:02d}", 0b1010101) for i in range(n)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["image_id", "phash"]))
+    got = phash_near_duplicates(
+        df, cfg=DedupConfig(hamming_radius=3)
+    )  # default guard huge → all pairs
+    from dedup_spark.operators.simhash import hamming_candidates, hamming_verify
+
+    starred = hamming_verify(hamming_candidates(df, max_band_bucket=8))
+    rows_out = starred.collect()
+    assert 0 < len(rows_out) < n * (n - 1) / 2  # star, not quadratic
+    assert all(r["hamming"] == 0 for r in rows_out)
+    assert got.count() == n * (n - 1) / 2  # un-guarded tier finds all
+
+
 def test_posting_cap_drops_flood_shingles_loudly(spark, caplog):
     import logging
 
