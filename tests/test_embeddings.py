@@ -142,8 +142,6 @@ def test_ann_axis_planes_match_random_soundness(spark, vecs):
 def test_ivf_kmeans_recovers_clusters_and_pairs(spark, vecs):
     from dedup_spark.operators.embeddings import ivf_verified_pairs, kmeans_centroids
 
-    import numpy as np2
-
     cents = kmeans_centroids(vecs, k=8, iters=4)
     assert cents.shape == (8, 16)
     ids, sims = _numpy_sims(vecs)
@@ -163,7 +161,7 @@ def test_ivf_kmeans_recovers_clusters_and_pairs(spark, vecs):
     assert recall >= 0.9, f"IVF recall {recall:.2f}"
     # determinism: rebuilt centroids + pairs are identical
     cents2 = kmeans_centroids(vecs, k=8, iters=4)
-    assert np2.array_equal(cents, cents2)
+    assert np.array_equal(cents, cents2)
     got2 = {
         (r["id1"], r["id2"])
         for r in ivf_verified_pairs(vecs, cents2, threshold=0.9, n_probe=2).collect()
