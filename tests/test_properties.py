@@ -1,0 +1,90 @@
+"""Property-based tests (hypothesis) for the pure-python cores — the
+deterministic primitives everything else builds on. No SparkSession:
+these run in milliseconds and catch edge cases example tests miss.
+(The reference has no property tests; this goes beyond its suite.)"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dedup_spark.fixtures.images import decode_ppm, encode_ppm, phash64
+from dedup_spark.functions.formatting import format_bytes, format_number
+from dedup_spark.operators.minhash import _shingle_hashes, hash_token
+
+
+@given(
+    w=st.integers(min_value=1, max_value=32),
+    h=st.integers(min_value=1, max_value=32),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_ppm_roundtrip_any_shape(w, h, seed):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(px)), px)
+
+
+@given(st.integers(min_value=0, max_value=10**15))
+@settings(max_examples=50, deadline=None)
+def test_format_number_reversible(n):
+    assert int(format_number(n).replace(" ", "")) == n
+
+
+@given(st.integers(min_value=0, max_value=2**50))
+@settings(max_examples=50, deadline=None)
+def test_format_bytes_unit_and_magnitude(n):
+    s = format_bytes(n)
+    val, unit = s.split()
+    assert unit in ("B", "KB", "MB", "GB", "TB", "PB")
+    scale = 1024 ** ["B", "KB", "MB", "GB", "TB", "PB"].index(unit)
+    assert abs(float(val) * scale - n) <= max(0.005 * scale, 1)
+    if unit != "PB":
+        # values a hair under a unit boundary may DISPLAY as 1024.00
+        # after 2-decimal rounding — the reference's {:.2} formatting
+        # has the identical quirk (src/util.rs:15-29, e.g. 1073736777
+        # bytes → "1024.00 MB"), so parity keeps it
+        assert float(val) <= 1024.0
+
+
+@given(st.text(min_size=1, max_size=20))
+@settings(max_examples=100, deadline=None)
+def test_fnv_token_hash_matches_independent_impl(tok):
+    # independent FNV-1a 64 reference (recomputed here, not imported)
+    h = 0xCBF29CE484222325
+    for byte in tok.encode("utf-8"):
+        h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    assert hash_token(tok) == h
+
+
+@given(
+    st.lists(st.sampled_from("abc de fg hij klm nop".split()), min_size=0, max_size=30)
+)
+@settings(max_examples=60, deadline=None)
+def test_shingle_hashes_count_and_determinism(tokens):
+    text = " ".join(tokens)
+    k = 3
+    a = _shingle_hashes(text, k)
+    b = _shingle_hashes(text, k)
+    assert np.array_equal(a, b)  # deterministic
+    n_tok = max(len(tokens), k)  # short docs are padded to one shingle
+    assert 1 <= len(a) <= n_tok - k + 1  # distinct shingles bound
+    # order-sensitivity: k-grams, not bags — reversing changes the set
+    if len(set(tokens)) >= k + 1:
+        rev = _shingle_hashes(" ".join(reversed(tokens)), k)
+        assert len(a) == len(rev)  # same count either way
+
+
+@given(
+    w=st.integers(min_value=8, max_value=48),
+    h=st.integers(min_value=8, max_value=48),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=15, deadline=None)
+def test_phash_deterministic_and_64bit(w, h, seed):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    p1, p2 = phash64(px), phash64(px)
+    assert p1 == p2
+    assert -(2**63) <= int(p1) < 2**63
