@@ -54,6 +54,32 @@ def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = N
             spark.read.parquet(p).createOrReplaceTempView(name)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> str:
+    """Bucketed (hash-clustered) table write — the co-located-join path.
+
+    Two tables bucketed on the same key with the same bucket count join
+    WITHOUT a shuffle: each task reads matching buckets from both sides
+    (plan shows SortMergeJoin with NO Exchange — asserted in
+    tests/test_filters_catalog.py). At 100 TB this is the difference
+    between re-shuffling the assignment table on every downstream join
+    and never shuffling it again; the Iceberg analog is a `bucket(N,
+    col)` partition transform with storage-partitioned joins. Spark's
+    bucketing requires the table catalog (`saveAsTable`), so this path
+    is metastore-backed parquet rather than a bare directory.
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table_name)
+    return table_name
+
+
 def write_table(
     df: DataFrame,
     target: str,

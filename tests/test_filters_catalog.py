@@ -182,3 +182,33 @@ def test_partition_pruning_is_real(spark, tmp_path):
     # read the files and filter rows instead of skipping whole dirs)
     pushed = plan.split("PushedFilters")[1][:120] if "PushedFilters" in plan else ""
     assert "src" not in pushed
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """Bucketing proof: two tables bucketed on the same key join with
+    NO Exchange on either side — the co-located-join contract that
+    kills the per-join shuffle at scale."""
+    import pandas as pd
+
+    from dedup_spark.sources.catalog import write_bucketed
+
+    a = spark.createDataFrame(
+        pd.DataFrame({"k": list(range(500)), "va": list(range(500))})
+    )
+    b = spark.createDataFrame(
+        pd.DataFrame({"k": list(range(0, 500, 2)), "vb": list(range(250))})
+    )
+    write_bucketed(a, "bkt_a", ["k"], 8, sort_cols=["k"])
+    write_bucketed(b, "bkt_b", ["k"], 8, sort_cols=["k"])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle at all
+        assert joined.count() == 250
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
