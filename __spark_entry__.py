@@ -371,6 +371,25 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id1", "id2", F.round("containment", 6).alias("containment"))
 
 
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: the winnowing anchor (minimal
+    byte-24-gram hash) per doc — the same primitive the substring tier
+    anchors on, exposed as a per-doc fingerprint column. The oracle
+    recomputes the full rolling hash gram-by-gram in SQL (shared
+    multiplier constants, HUGEINT mod-2^64 arithmetic), so the entire
+    char-gram machinery is value-checked, not just its pair output."""
+    from dedup_spark.operators.suffix import char_gram_hashes_udf
+
+    g = char_gram_hashes_udf(SUBSTR_K)
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.octet_length("text") >= SUBSTR_K)
+        .select(
+            "doc_id", F.element_at(g(F.col("text")), 1).alias("fingerprint")
+        )
+    )
+
+
 def q_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components (large-star/small-star) over the exact
     Jaccard edge set → (doc_id, cluster_id = component min)."""
@@ -569,6 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_pairs": q_ann_cosine_pairs,
         "simhash_text_pairs": q_simhash_text_pairs,
         "substring_containment": q_substring_containment,
+        "doc_fingerprints": q_doc_fingerprints,
         "image_exact_dedup": q_image_exact_dedup,
         "image_features": q_image_features,
         "phash_hamming_pairs": q_phash_hamming_pairs,
@@ -594,10 +614,15 @@ def oracle_sql() -> dict[str, str]:
         )
 
     from dedup_spark.fixtures.materialize import fixture_images_parquet
+    from dedup_spark.operators.suffix import gram_multipliers
 
     # materializing here guarantees the file exists before DuckDB runs,
     # regardless of whether the driver executes SQL before Spark
     fixture = f"read_parquet('{fixture_images_parquet()}')"
+    mults = gram_multipliers(SUBSTR_K)
+    mult_values = ", ".join(
+        f"({j}, {mults[j]}::UBIGINT)" for j in range(SUBSTR_K)
+    )
     lang_cases = []
     langs = sorted(TX.LANG_MARKERS)  # de en es fr zh
     for i, lang in enumerate(langs):
@@ -802,6 +827,31 @@ WITH g AS (
 SELECT d.doc_id, g.cluster_id
 FROM documents d JOIN g ON substr(d.text, 1, 16) = g.p
 WHERE d.text IS NOT NULL
+""",
+        # full rolling-hash recompute: per (doc, position) gram = XOR of
+        # multiplier-mixed bytes (HUGEINT emulates the wrapping multiply;
+        # shared constants from gram_multipliers so UDF and oracle
+        # cannot drift); fingerprint = unsigned-min gram, emitted as the
+        # wrapped signed 64-bit value the UDF stores
+        "doc_fingerprints": f"""
+WITH m(j, mult) AS (VALUES {mult_values}),
+pos AS (
+  SELECT doc_id, text, unnest(range(1, strlen(text) - {SUBSTR_K} + 2)) AS i
+  FROM documents WHERE text IS NOT NULL AND strlen(text) >= {SUBSTR_K}
+),
+terms AS (
+  SELECT p.doc_id, p.i,
+         CAST((ascii(substr(p.text, p.i + m.j, 1))::HUGEINT * m.mult::HUGEINT)
+              % 18446744073709551616 AS UBIGINT) AS t
+  FROM pos p, m
+),
+grams AS (SELECT doc_id, i, bit_xor(t) AS gh FROM terms GROUP BY doc_id, i),
+anchor AS (SELECT doc_id, min(gh) AS a FROM grams GROUP BY doc_id)
+SELECT doc_id,
+       CAST(CASE WHEN a >= 9223372036854775808::UBIGINT
+            THEN a::HUGEINT - 18446744073709551616::HUGEINT
+            ELSE a::HUGEINT END AS BIGINT) AS fingerprint
+FROM anchor
 """,
         # the min-gram anchor algorithm is exact (full recall >= k
         # bytes, instr-verified precision), so the oracle is the plain

@@ -192,6 +192,18 @@ def exact_jaccard_pairs(
     )
 
 
+def gram_multipliers(k: int) -> list[int]:
+    """The k per-position multipliers of the byte-k-gram rolling hash
+    (iterated golden-ratio constant, wrapping mod 2^64). Shared by the
+    gram UDF and the DuckDB oracle builder so the two can never
+    drift."""
+    out, m = [], 1
+    for _ in range(k):
+        m = (m * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        out.append(m)
+    return out
+
+
 def char_gram_hashes_udf(k: int):
     """pandas UDF: text → SORTED distinct byte-k-gram hashes
     (array<long>); NULL for null/too-short texts.
@@ -204,11 +216,7 @@ def char_gram_hashes_udf(k: int):
     C-speed; no per-character Python). Sorted output makes the anchor
     (minimum gram hash) simply element 1 — no second UDF pass.
     """
-    mults = np.empty(k, dtype=np.uint64)
-    m = 1
-    for i in range(k):
-        m = (m * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
-        mults[i] = np.uint64(m)
+    mults = np.array(gram_multipliers(k), dtype=np.uint64)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _grams(texts: pd.Series) -> pd.Series:
