@@ -46,6 +46,8 @@ HEADLINE = [
     "ann_cosine_pairs",
     "simhash_text_pairs",
     "substring_containment",
+    "doc_fingerprints",
+    "token_counts",
 ]
 
 
