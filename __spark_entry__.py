@@ -128,8 +128,21 @@ def _marker_sum(lang: str) -> str:
 
 # shared CTE: word-3-gram shingle sets + exact jaccard pairs (DuckDB
 # side of exact_jaccard_pairs; docs shorter than K tokens are dropped
-# on both sides)
-_ORACLE_SHINGLE_PAIRS = f"""
+# on both sides). ``cap`` mirrors the engine's posting cap EXACTLY:
+# intersections count only shingles shared by <= cap docs, while the
+# per-doc set sizes stay uncapped — so the capped queries and their
+# oracles agree on ANY corpus, not just ones where the cap is
+# untriggered (round-2 review finding).
+def _oracle_shingle_pairs(cap: int | None) -> str:
+    if cap is None:
+        joinable = "sh"
+    else:
+        joinable = f"""(
+    SELECT sh.* FROM sh
+    JOIN (SELECT s FROM sh GROUP BY s HAVING count(*) <= {cap}) ok
+      ON sh.s = ok.s
+  )"""
+    return f"""
 WITH t AS (
   SELECT doc_id, {_TOKS} AS arr FROM documents WHERE text IS NOT NULL
 ),
@@ -144,7 +157,7 @@ sh AS (
 c AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 pr AS (
   SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM {joinable} a JOIN {joinable} b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 scored AS (
@@ -155,18 +168,20 @@ scored AS (
 )
 """
 
-def _oracle_jaccard(threshold: float) -> str:
+
+POSTING_CAP = 512  # pinned with the engine default (suffix.py)
+_ORACLE_SHINGLE_PAIRS = _oracle_shingle_pairs(None)  # uncapped (LSH tier)
+_ORACLE_SHINGLE_PAIRS_CAPPED = _oracle_shingle_pairs(POSTING_CAP)
+
+def _oracle_jaccard(threshold: float, cte: str) -> str:
     return (
-        _ORACLE_SHINGLE_PAIRS
+        cte
         + f"""
 SELECT id1, id2, round(inter / (n1 + n2 - inter), 6) AS jaccard
 FROM scored
 WHERE inter / (n1 + n2 - inter) >= {threshold}
 """
     )
-
-
-_ORACLE_JACCARD = _oracle_jaccard(JACCARD_T)
 
 # deterministic double pipeline for cosine: promote float32 -> float64
 # FIRST, then sum — both engines accumulate sequentially in double, and
@@ -339,6 +354,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_col="text",
         threshold=JACCARD_T,
         min_tokens=K,
+        max_posting=POSTING_CAP,  # pinned with the capped oracle CTE
     )
     return pairs.select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
 
@@ -366,7 +382,8 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # uncapped — they agree because the corpus's max posting (7) is far
     # below the cap, and the cap logs any drop if that ever changes
     pairs = containment_pairs(
-        df, id_col="doc_id", text_col="text", threshold=CONTAIN_T
+        df, id_col="doc_id", text_col="text", threshold=CONTAIN_T,
+        max_posting=POSTING_CAP,  # pinned with the capped oracle CTE
     )
     return pairs.select("id1", "id2", F.round("containment", 6).alias("containment"))
 
@@ -399,6 +416,7 @@ def q_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_col="text",
         threshold=JACCARD_T,
         min_tokens=K,
+        max_posting=POSTING_CAP,  # pinned with the capped oracle CTE
     ).select("id1", "id2")
     cc = connected_components(edges)
     return cc.select(F.col("id").alias("doc_id"), "cluster_id")
@@ -437,8 +455,14 @@ def q_ann_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
+    # pair-set-exact mode: the axis family has only 2^6=64 buckets per
+    # table, so the 1024 default star guard would fire at ~65k rows and
+    # diverge from the guard-free oracle; 1<<20 keeps exactness to
+    # ~67M rows (far beyond any gate corpus) while still bounding a
+    # pathological all-identical flood
     pairs = ann_verified_pairs(
-        emb, id_col="vec_id", vec_col="embedding", cfg=cfg, dim=EMB_DIM, planes="axis"
+        emb, id_col="vec_id", vec_col="embedding", cfg=cfg, dim=EMB_DIM,
+        planes="axis", max_bucket=1 << 20,
     )
     return pairs.select("id1", "id2", F.round("cosine", 6).alias("cosine"))
 
@@ -452,7 +476,14 @@ def q_simhash_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _docs(spark, sf_dir).select(
         "doc_id", simhash_text_udf()(F.col("text")).alias("sh")
     )
-    pairs = phash_near_duplicates(df, id_col="doc_id", hash_col="sh")
+    # pair-set-exact mode: the oracle asserts set equality with the
+    # Hamming self-join, so the star guard gets 16x headroom over the
+    # worst measured band bucket (189 at sf0.1); the pipeline default
+    # (256) keeps flood safety where cluster-level recall is the
+    # contract (see phash_near_duplicates docstring)
+    pairs = phash_near_duplicates(
+        df, id_col="doc_id", hash_col="sh", max_band_bucket=4096
+    )
     return pairs.select(
         "id1", "id2", F.col("hamming").cast("long").alias("hamming")
     )
@@ -478,12 +509,25 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster_id ("first id ever seen with this content") equals the
     global min id per content group — which is exactly the SQL oracle.
     Singletons included (the state table tracks every content)."""
-    import shutil
+    import tempfile
 
     from dedup_spark.streaming.incremental import process_batch
 
-    base = f"/tmp/dedup_spark_stream_q/{os.path.basename(sf_dir.rstrip('/'))}"
-    shutil.rmtree(base, ignore_errors=True)
+    # unique dir per invocation: concurrent runs (parallel pytest, a
+    # driver building queries twice) can never race a shared rmtree;
+    # stale dirs from past invocations are swept opportunistically
+    import shutil
+    import time
+
+    root = "/tmp/dedup_spark_stream_q"
+    os.makedirs(root, exist_ok=True)
+    for d in os.listdir(root):
+        p = os.path.join(root, d)
+        if os.path.isdir(p) and time.time() - os.path.getmtime(p) > 3600:
+            shutil.rmtree(p, ignore_errors=True)
+    base = tempfile.mkdtemp(
+        prefix=f"{os.path.basename(sf_dir.rstrip('/'))}_", dir=root
+    )
     state, out = f"{base}/state", f"{base}/out"
     docs = _prefix_payload(_docs(spark, sf_dir)).select("doc_id", "payload")
     hi = docs.agg(F.max("doc_id")).first()[0]
@@ -542,7 +586,8 @@ def q_phash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonhole-exact (radius+1 disjoint bands ⇒ any pair within the
     radius shares a band), so the verified output equals the exact
     Hamming self-join the oracle computes."""
-    pairs = phash_near_duplicates(_fixture_images(spark))
+    # pair-set-exact mode (guard headroom) — see q_simhash_text_pairs
+    pairs = phash_near_duplicates(_fixture_images(spark), max_band_bucket=4096)
     return pairs.select(
         "id1", "id2", F.col("hamming").cast("long").alias("hamming")
     )
@@ -767,8 +812,15 @@ SELECT a.image_id AS id1, b.image_id AS id2,
 FROM {fixture} a JOIN {fixture} b ON a.image_id < b.image_id
 WHERE bit_count(xor(a.phash, b.phash)) <= 3
 """,
-        "ngram_jaccard_pairs": _ORACLE_JACCARD,
-        "minhash_lsh_pairs": _oracle_jaccard(MINHASH_T),
+        # capped CTE: the engine runs its default posting cap, so the
+        # oracle applies the identical cap — parity is corpus-
+        # independent, not cap-untriggered luck
+        "ngram_jaccard_pairs": _oracle_jaccard(
+            JACCARD_T, _ORACLE_SHINGLE_PAIRS_CAPPED
+        ),
+        # the LSH tier has no posting cap (band floods star-link
+        # instead), so its oracle stays uncapped
+        "minhash_lsh_pairs": _oracle_jaccard(MINHASH_T, _ORACLE_SHINGLE_PAIRS),
         # full SimHash signature recompute in SQL: FNV-1a over each
         # token's bytes (ASCII corpus ⇒ ascii(char) = utf-8 byte;
         # HUGEINT mod 2^64 emulates the wrapping multiply), ±1
@@ -809,7 +861,7 @@ SELECT a.doc_id AS id1, b.doc_id AS id2,
 FROM su a JOIN su b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.s, b.s)) <= 3
 """,
-        "containment_pairs": _ORACLE_SHINGLE_PAIRS
+        "containment_pairs": _ORACLE_SHINGLE_PAIRS_CAPPED
         + f"""
 SELECT id1, id2, round(inter / least(n1, n2), 6) AS containment
 FROM scored
@@ -832,7 +884,11 @@ WHERE d.text IS NOT NULL
         # multiplier-mixed bytes (HUGEINT emulates the wrapping multiply;
         # shared constants from gram_multipliers so UDF and oracle
         # cannot drift); fingerprint = unsigned-min gram, emitted as the
-        # wrapped signed 64-bit value the UDF stores
+        # wrapped signed 64-bit value the UDF stores. ASCII-corpus
+        # assumption (like the simhash oracle): ascii(char) = utf-8 byte
+        # and substr walks bytes only when every char is single-byte —
+        # holds for this corpus (verified 0 non-ASCII docs); a multi-
+        # byte corpus needs codepoint→utf8 expansion here
         "doc_fingerprints": f"""
 WITH m(j, mult) AS (VALUES {mult_values}),
 pos AS (
@@ -865,7 +921,9 @@ WHERE a.text IS NOT NULL AND b.text IS NOT NULL
        OR (strlen(a.text) = strlen(b.text) AND a.doc_id < b.doc_id))
   AND position(a.text IN b.text) > 0
 """,
-        "cc_clusters": _ORACLE_SHINGLE_PAIRS.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+        "cc_clusters": _ORACLE_SHINGLE_PAIRS_CAPPED.replace(
+            "WITH t AS", "WITH RECURSIVE t AS", 1
+        )
         + f""",
 e AS (
   SELECT id1 AS a, id2 AS b FROM scored

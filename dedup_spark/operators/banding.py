@@ -32,6 +32,13 @@ def star_guarded_pairs(
     are propagated to the output as ``<col>1`` / ``<col>2`` (used by
     the Hamming tier to carry the hash values into the verify without
     a second join).
+
+    CONTRACT: each carry column must be a function of the id alone
+    (same id ⇒ same value in every bucket row). When a pair collides
+    in several buckets the final dropDuplicates keeps ONE row's carry
+    values arbitrarily — functional dependence is what makes that
+    deterministic. Bucket-dependent values (band index, per-bucket
+    scores) must NOT be carried; join them back by id instead.
     """
     carry = carry_cols or []
     stats = (

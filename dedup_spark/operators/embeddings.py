@@ -104,6 +104,7 @@ def cosine_scores_gemm(
     topk: int | None = None,
     round_to: int = 6,
     block_target: int = 4096,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """All-pairs cosine via DISTRIBUTED blocked matrix multiply.
 
@@ -130,8 +131,10 @@ def cosine_scores_gemm(
         raise ValueError("pass exactly one of threshold= or topk=")
     id_type = corpus.schema[id_col].dataType.simpleString()
 
-    n = corpus.count()
-    n_blocks = max(1, math.ceil(n / block_target))
+    if n_blocks is None:
+        # sizing action at build time; pass n_blocks explicitly to keep
+        # construction lazy (e.g. EXPLAIN-only flows)
+        n_blocks = max(1, math.ceil(corpus.count() / block_target))
     blocked = corpus.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
@@ -351,8 +354,18 @@ def kmeans_centroids(
             .groupBy("cell")
             .agg(
                 F.sum("n").alias("n"),
+                # decimal-exact component sums: float addition order
+                # across partitions is nondeterministic, and 6dp
+                # rounding alone cannot fix a value sitting on a
+                # rounding boundary — decimal sums are order-free, so
+                # the trained centroids are bit-identical across runs
                 F.array(
-                    *[F.sum(F.element_at("sums", i + 1)) for i in range(dim)]
+                    *[
+                        F.sum(
+                            F.element_at("sums", i + 1).cast("decimal(30,12)")
+                        ).cast("double")
+                        for i in range(dim)
+                    ]
                 ).alias("sums"),
             )
             .collect()
@@ -428,11 +441,17 @@ def ann_verified_pairs(
     cfg: DedupConfig = DEFAULT_CONFIG,
     dim: int | None = None,
     planes: str = "random",
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """LSH candidates verified by exact cosine — the embedding near-dup
     tier feeding connected components. The threshold filters the
-    ROUNDED cosine (round 6), the suite-wide float-parity rule."""
-    pairs = ann_candidates(corpus, id_col, vec_col, cfg, dim=dim, planes=planes)
+    ROUNDED cosine (round 6), the suite-wide float-parity rule.
+    ``max_bucket`` is the star guard (see ann_candidates); pair-set
+    oracles pass a larger value, pipelines keep the flood-safe
+    default."""
+    pairs = ann_candidates(
+        corpus, id_col, vec_col, cfg, max_bucket=max_bucket, dim=dim, planes=planes
+    )
     vecs = corpus.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),

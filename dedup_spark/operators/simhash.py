@@ -97,9 +97,20 @@ def phash_near_duplicates(
     id_col: str = "image_id",
     hash_col: str = "phash",
     cfg: DedupConfig = DEFAULT_CONFIG,
+    max_band_bucket: int = 256,
 ) -> DataFrame:
-    """Full SimHash tier: band candidates → Hamming-verified pairs."""
-    return hamming_verify(hamming_candidates(df, id_col, hash_col, cfg), cfg)
+    """Full SimHash tier: band candidates → Hamming-verified pairs.
+
+    Pair-set exactness vs flood safety is a real trade: below the
+    guard, the output is EXACTLY the Hamming self-join (pigeonhole
+    recall + bit_count verify); a band bucket above ``max_band_bucket``
+    switches to O(n) star edges, which preserves cluster-level recall
+    through connected components but is a strict subset of the pair
+    set. Callers that assert pair-set equality (the driver oracle)
+    pass a larger guard; the pipeline default keeps flood safety."""
+    return hamming_verify(
+        hamming_candidates(df, id_col, hash_col, cfg, max_band_bucket), cfg
+    )
 
 
 def simhash_text_udf(n_bits: int = 64):

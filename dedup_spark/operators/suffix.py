@@ -66,16 +66,20 @@ def _capped_shared_keys(
 ) -> DataFrame:
     """Shared-shingle key set, capped at max_posting with LOGGED drops.
 
-    The stats aggregate is localCheckpointed: it is the broadcast-able
-    small side by construction (shared keys only), materializing it
-    means the expensive shingle pass behind it runs once for both the
-    drop count and the semi-join, and the join plan reads a leaf
-    instead of re-deriving the aggregate."""
+    The stats aggregate is localCheckpointed LAZILY: it is the
+    broadcast-able small side by construction (shared keys only), and
+    once any action materializes it the expensive shingle pass behind
+    it has run exactly once for both the drop count and the semi-join.
+    With ``log_drops=True`` the drop-count action triggers that
+    materialization at build time (an eager index pass — the shipped
+    queries accept this because the checkpoint is then reused); pass
+    ``log_drops=False`` for fully lazy construction (EXPLAIN, plan
+    audits, deferred execution)."""
     counts = (
         posts.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") >= 2)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     if max_posting is not None:
         if log_drops:
@@ -277,7 +281,10 @@ def char_substring_pairs(
         base.filter(F.col("_blen") >= k)
         .select("_id", grams(F.col("_t")).alias("_g"))
         .filter(F.col("_g").isNotNull())
-        .localCheckpoint(eager=True)  # one UDF pass feeds both branches
+        # lazy checkpoint: one UDF pass feeds both branches once any
+        # action runs; building the query stays free of Spark jobs
+        # (unless log_drops triggers the drop count)
+        .localCheckpoint(eager=False)
     )
     posts = g.select(F.col("_id").alias("outer_id"), F.explode("_g").alias("gram"))
     counts = posts.groupBy("gram").agg(F.count(F.lit(1)).alias("_n"))
