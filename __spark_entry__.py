@@ -368,7 +368,13 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) >= K
     )
     cfg = DedupConfig(jaccard_threshold=MINHASH_T)
-    pairs = minhash_near_duplicates(df, id_col="doc_id", text_col="text", cfg=cfg)
+    # pair-set-exact mode: guard headroom (like simhash 4096 / ANN 1<<20)
+    # so a duplicate flood can't star-collapse a band bucket and make the
+    # verified output a strict subset of the uncapped exact oracle
+    # (ADVICE r2 medium); pipelines keep the flood-safe default of 64
+    pairs = minhash_near_duplicates(
+        df, id_col="doc_id", text_col="text", cfg=cfg, max_band_bucket=1 << 20
+    )
     return pairs.select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -495,9 +501,15 @@ SUBSTR_K = 24  # min contained-doc bytes — one winnowing gram width
 def q_substring_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact character-level substring pairs via the min-gram anchor
     index (global recall for contained docs >= SUBSTR_K bytes; see
-    operators/suffix.py). id1 = contained doc, id2 = container."""
+    operators/suffix.py). id1 = contained doc, id2 = container.
+
+    Exact-gate variant: the oracle is the UNCAPPED quadratic substring
+    self-join, so the posting cap is off here (max_posting=None) —
+    parity cannot depend on the corpus staying under a cap (ADVICE r2).
+    Pipelines keep the default cap (4096, drops logged)."""
     return char_substring_pairs(
-        _docs(spark, sf_dir), id_col="doc_id", text_col="text", k=SUBSTR_K
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text", k=SUBSTR_K,
+        max_posting=None, log_drops=False,
     )
 
 
@@ -508,7 +520,23 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     idempotent appends). Batches ordered by doc_id, so the stable
     cluster_id ("first id ever seen with this content") equals the
     global min id per content group — which is exactly the SQL oracle.
-    Singletons included (the state table tracks every content)."""
+    Singletons included (the state table tracks every content).
+
+    NOTE (ADVICE r2): the replay is inherently eager — foreachBatch
+    bodies run real jobs and parquet writes, so this function executes
+    Spark work at CALL time, unlike every other builder. EXPLAIN-only /
+    plan-audit flows set DEDUP_SPARK_EXPLAIN_ONLY=1 to get a lazy
+    schema-identical stand-in (clearly not the replay result) instead
+    of triggering execution and /tmp side effects."""
+    if os.environ.get("DEDUP_SPARK_EXPLAIN_ONLY"):
+        return (
+            _prefix_payload(_docs(spark, sf_dir))
+            .select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("doc_id").cast("long").alias("cluster_id"),
+            )
+            .limit(0)
+        )
     import tempfile
 
     from dedup_spark.streaming.incremental import process_batch

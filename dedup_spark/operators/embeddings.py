@@ -145,11 +145,24 @@ def cosine_scores_gemm(
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        nrm = np.linalg.norm(mat, axis=1)
+        # zero-norm vectors have undefined cosine; normalizing them
+        # yields NaN rows that Spark's ordering ranks ABOVE every real
+        # neighbor in top-k mode while threshold mode silently drops
+        # them (NaN >= thr is false in numpy) — inconsistent. Drop them
+        # here so both modes agree: zero vectors never pair (ADVICE r2).
+        keep = nrm > 0
+        if not keep.all():
+            mat, nrm = mat[keep], nrm[keep]
+        if mat.shape[0] == 0:
+            return pd.DataFrame({"_b": [], "ids": [], "mat": []}).astype(
+                {"_b": "int64"}
+            )
+        mat /= nrm[:, None]
         return pd.DataFrame(
             {
                 "_b": [int(pdf["_b"].iloc[0])],
-                "ids": [pickle.dumps(pdf["_id"].to_numpy())],
+                "ids": [pickle.dumps(pdf["_id"].to_numpy()[keep])],
                 "mat": [pickle.dumps(mat)],
             }
         )

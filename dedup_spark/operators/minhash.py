@@ -239,7 +239,14 @@ def minhash_near_duplicates(
     id_col: str = "image_id",
     text_col: str = "caption",
     cfg: DedupConfig = DEFAULT_CONFIG,
+    max_band_bucket: int = 64,
 ) -> DataFrame:
-    """Full near-dup tier: LSH candidates → verified (id1, id2, jaccard)."""
-    pairs = band_candidates(df, id_col, text_col, cfg)
+    """Full near-dup tier: LSH candidates → verified (id1, id2, jaccard).
+
+    ``max_band_bucket`` forwards to :func:`band_candidates` (the star
+    skew guard). Pair-set-exact callers (the driver oracles) pass a
+    large headroom value so a duplicate flood cannot degrade the
+    verified output to a subset of the exact pair set; pipeline callers
+    keep the flood-safe default (cluster-level recall via CC)."""
+    pairs = band_candidates(df, id_col, text_col, cfg, max_band_bucket)
     return jaccard_verify(df, pairs, id_col, text_col, cfg)

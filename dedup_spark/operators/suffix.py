@@ -249,7 +249,7 @@ def char_substring_pairs(
     id_col: str = "image_id",
     text_col: str = "caption",
     k: int = 24,
-    max_posting: int = 4096,
+    max_posting: int | None = 4096,
     log_drops: bool = True,
 ) -> DataFrame:
     """Exact character-level substring pairs with GLOBAL recall.
@@ -287,11 +287,15 @@ def char_substring_pairs(
         .localCheckpoint(eager=False)
     )
     posts = g.select(F.col("_id").alias("outer_id"), F.explode("_g").alias("gram"))
-    counts = posts.groupBy("gram").agg(F.count(F.lit(1)).alias("_n"))
-    if log_drops:
-        _count_and_log_drops(counts, max_posting, "char_substring_pairs")
-    ok = counts.filter(F.col("_n") <= max_posting).select("gram")
-    posts = posts.join(ok, on="gram", how="left_semi")
+    if max_posting is not None:
+        # None = uncapped exhaustive variant (the exact-gate oracle runs
+        # the uncapped quadratic substring self-join, so the engine side
+        # must not cap either — corpus-independent parity, ADVICE r2)
+        counts = posts.groupBy("gram").agg(F.count(F.lit(1)).alias("_n"))
+        if log_drops:
+            _count_and_log_drops(counts, max_posting, "char_substring_pairs")
+        ok = counts.filter(F.col("_n") <= max_posting).select("gram")
+        posts = posts.join(ok, on="gram", how="left_semi")
     anchors = g.select(
         F.col("_id").alias("inner_id"), F.element_at("_g", 1).alias("gram")
     )
