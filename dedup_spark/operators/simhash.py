@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from dedup_spark.config import DEFAULT_CONFIG, DedupConfig
-from dedup_spark.operators.minhash import hash_token
+from dedup_spark.operators.minhash import hash_tokens_np
 
 
 def _band_exprs(col: str, radius: int, bits: int = 64) -> list:
@@ -116,18 +116,19 @@ def phash_near_duplicates(
 def simhash_text_udf(n_bits: int = 64):
     """pandas UDF: text → 64-bit SimHash over token FNV hashes.
 
-    Batch-vectorized like minhash_signature_udf: all docs' token hashes
-    are concatenated (tokenize + lru-cached FNV is the only per-token
-    Python), the (total_tokens, 64) ±1 bit matrix is built once, and
-    per-doc bit scores come from one np.add.reduceat segment reduction —
-    no per-document Python loop in the accumulation.
+    Batch-vectorized like minhash_signature_udf: all docs' tokens are
+    factorized across the batch and FNV-hashed in one vectorized pass
+    (hash_tokens_np — tokenize is the only remaining per-doc Python),
+    the (total_tokens, 64) ±1 bit matrix is built once, and per-doc bit
+    scores come from one np.add.reduceat segment reduction — no
+    per-document Python loop in the accumulation.
     """
 
     @F.pandas_udf(T.LongType())
     def _simhash(texts: pd.Series) -> pd.Series:
         shifts = np.arange(n_bits, dtype=np.uint64)
         weights = np.uint64(1) << shifts
-        parts: list[np.ndarray] = []
+        tok_lists: list[list[str]] = []
         offsets, n_toks = [0], []
         nulls: list[bool] = []
         total = 0
@@ -140,16 +141,18 @@ def simhash_text_udf(n_bits: int = 64):
             nulls.append(False)
             toks = t.lower().split()
             if toks:
-                parts.append(
-                    np.array([hash_token(tok) for tok in toks], dtype=np.uint64)
-                )
+                tok_lists.append(toks)
             total += len(toks)
             offsets.append(total)
             n_toks.append(len(toks))
         n_docs = len(nulls)
         sigs = np.zeros(n_docs, dtype=np.uint64)
         if total:
-            concat = np.concatenate(parts)
+            all_toks = np.concatenate(
+                [np.asarray(tl, dtype=object) for tl in tok_lists]
+            )
+            codes, uniques = pd.factorize(all_toks)
+            concat = hash_tokens_np(list(uniques))[codes]
             # bit matrix via unpackbits on the little-endian byte view —
             # one C pass, no 8-byte-per-bit shift intermediate; bit j of
             # the hash lands in column j exactly like (h >> j) & 1
