@@ -173,6 +173,118 @@ POSTING_CAP = 512  # pinned with the engine default (suffix.py)
 _ORACLE_SHINGLE_PAIRS = _oracle_shingle_pairs(None)  # uncapped (LSH tier)
 _ORACLE_SHINGLE_PAIRS_CAPPED = _oracle_shingle_pairs(POSTING_CAP)
 
+
+def _mul64(x_expr: str, const: int) -> str:
+    """(x_expr * const) mod 2^64 in DuckDB without overflowing signed
+    INT128: split the 64-bit constant into 32-bit halves
+    (x*m mod 2^64 = x*m_lo + ((x mod 2^32)*m_hi mod 2^32)·2^32, all
+    intermediates < 2^97)."""
+    lo, hi = const & 0xFFFFFFFF, const >> 32
+    return (
+        f"CAST(((({x_expr})::HUGEINT * {lo})"
+        f" + ((({x_expr}) % 4294967296)::HUGEINT * {hi} % 4294967296)"
+        f" * 4294967296) % {1 << 64} AS UBIGINT)"
+    )
+
+
+def _oracle_minhash_lsh_cte() -> str:
+    """FULL recompute of the seeded MinHash-LSH tier in DuckDB SQL —
+    the round-2 verdict's top ask: put the PRODUCTION-threshold (j=0.7)
+    banding under the hard signal, not just the band-safe j>=0.9 tier.
+
+    Recomputes, value-for-value against the engine's numpy pipeline
+    (minhash.py): FNV-1a token hashes → multiplier-mixed word-3-gram
+    shingle hashes → the 64 seeded universal-hash permutations
+    ((a·s mod 2^64)+b mod 2^64) mod (2^61-1), min per perm →
+    xor-add-multiply band mixing (16 bands × 4 rows) → band-equality
+    candidates → exact-Jaccard verify on the recomputed shingle sets.
+    The pinned (a, b) arrays come from the same _perm_params(seed=42)
+    call the engine uses, inlined as a VALUES table, so engine and
+    oracle share one source of truth. ASCII-corpus note as in the
+    simhash oracle: ascii(char) = utf-8 byte.
+
+    Ends with CTE ``lsh(id1, id2, jaccard)`` = verified pairs at the
+    production threshold, plus ``c(doc_id, n)`` shingle-set sizes."""
+    from dedup_spark.operators.minhash import _perm_params, shingle_multipliers
+
+    cfg = DEFAULT_CONFIG
+    num_perm, rows = cfg.num_perm, cfg.minhash_rows
+    a, b = _perm_params(num_perm, cfg.minhash_seed)
+    perm_values = ", ".join(
+        f"({p}, {int(a[p])}::UBIGINT, {int(b[p])}::UBIGINT)"
+        for p in range(num_perm)
+    )
+    mults = shingle_multipliers(K)
+    w64, m61 = 1 << 64, (1 << 61) - 1
+    c1, c2 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9
+    mix = _mul64(
+        f"xor(acc, CAST((s::HUGEINT + {c1}) % {w64} AS UBIGINT))", c2
+    )
+    return f"""
+WITH perm(p, a, b) AS (VALUES {perm_values}),
+t AS (
+  SELECT doc_id, {_TOKS} AS arr FROM documents
+  WHERE text IS NOT NULL AND len({_TOKS}) >= {K}
+),
+tok AS (
+  SELECT doc_id, unnest(range(1, len(arr) + 1)) AS ti, arr FROM t
+),
+th AS (  -- FNV-1a token hash (HUGEINT emulates the wrapping multiply)
+  SELECT doc_id, ti, list_reduce(
+    list_prepend(14695981039346656037::UBIGINT,
+                 list_transform(string_split(arr[ti], ''), c -> ascii(c)::UBIGINT)),
+    (acc, byt) -> CAST((CAST(xor(acc, byt) AS HUGEINT) * 1099511628211)
+                     % {w64} AS UBIGINT)
+  ) AS h
+  FROM tok
+),
+sh AS (  -- distinct word-{K}-gram shingle hashes per doc
+  SELECT DISTINCT t0.doc_id,
+    xor(xor(
+      {_mul64("t0.h", int(mults[0]))},
+      {_mul64("t1.h", int(mults[1]))}),
+      {_mul64("t2.h", int(mults[2]))}
+    ) AS s
+  FROM th t0
+  JOIN th t1 ON t1.doc_id = t0.doc_id AND t1.ti = t0.ti + 1
+  JOIN th t2 ON t2.doc_id = t0.doc_id AND t2.ti = t0.ti + 2
+),
+slots AS (  -- minhash slot per (doc, perm)
+  SELECT sh.doc_id, perm.p,
+         min(CAST((CAST((perm.a::HUGEINT * sh.s) % {w64} AS HUGEINT) + perm.b)
+                  % {w64} % {m61} AS UBIGINT)) AS slot
+  FROM sh, perm
+  GROUP BY sh.doc_id, perm.p
+),
+bandhash AS (  -- band key: iterated xor-add-multiply mix of the band's rows
+  SELECT doc_id, p // {rows} AS band_idx,
+         list_reduce(list_prepend(0::UBIGINT, list(slot ORDER BY p)),
+                     (acc, s) -> {mix}) AS bh
+  FROM slots GROUP BY doc_id, band_idx
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+  FROM bandhash x JOIN bandhash y
+    ON x.band_idx = y.band_idx AND x.bh = y.bh AND x.doc_id < y.doc_id
+),
+c AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT cand.id1, cand.id2, count(*) AS i
+  FROM cand
+  JOIN sh s1 ON s1.doc_id = cand.id1
+  JOIN sh s2 ON s2.doc_id = cand.id2 AND s2.s = s1.s
+  GROUP BY cand.id1, cand.id2
+),
+lsh AS (
+  SELECT inter.id1, inter.id2,
+         round(i / (c1.n + c2.n - i), 6) AS jaccard
+  FROM inter
+  JOIN c c1 ON c1.doc_id = inter.id1
+  JOIN c c2 ON c2.doc_id = inter.id2
+  WHERE i / (c1.n + c2.n - i) >= {JACCARD_T}
+)
+"""
+
 def _oracle_jaccard(threshold: float, cte: str) -> str:
     return (
         cte
@@ -376,6 +488,55 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         df, id_col="doc_id", text_col="text", cfg=cfg, max_band_bucket=1 << 20
     )
     return pairs.select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_minhash_lsh_pairs_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION-config LSH tier (j=0.7, DEFAULT_CONFIG — the
+    north-rule's 'fixed shingle/signature config') under the hard
+    signal: the oracle recomputes the entire seeded signature pipeline
+    in SQL (see _oracle_minhash_lsh_cte), so this is pair-set equality
+    of the banding+verify output itself — not a band-safe proxy
+    (VERDICT r2 'next round' #1)."""
+    df = _docs(spark, sf_dir).filter(
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) >= K
+    )
+    # guard headroom: pair-set-exact gate (see q_minhash_lsh_pairs)
+    pairs = minhash_near_duplicates(
+        df, id_col="doc_id", text_col="text", cfg=DEFAULT_CONFIG,
+        max_band_bucket=1 << 20,
+    )
+    return pairs.select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule metric as a driver artifact: dup-pair recall of
+    the production-config LSH tier vs the exact j>=0.7 pair set.
+    One row: (n_exact, n_lsh, recall, recall_ok).
+
+    The oracle recomputes n_exact AND n_lsh (full signature recompute)
+    but pins recall_ok = TRUE — so the gate FAILS, not just records,
+    if banding recall ever drops below 0.99 at the fixed config.
+    LSH output ⊆ exact pairs by construction (the verify stage filters
+    on the same exact Jaccard), so recall = n_lsh / n_exact."""
+    df = _docs(spark, sf_dir).filter(
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) >= K
+    )
+    exact = exact_jaccard_pairs(
+        df, id_col="doc_id", text_col="text", threshold=JACCARD_T,
+        min_tokens=K, max_posting=None, log_drops=False,
+    )
+    lsh = minhash_near_duplicates(
+        df, id_col="doc_id", text_col="text", cfg=DEFAULT_CONFIG,
+        max_band_bucket=1 << 20,
+    )
+    ne = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    nl = lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh"))
+    return ne.crossJoin(nl).select(
+        "n_exact",
+        "n_lsh",
+        F.round(F.col("n_lsh") / F.col("n_exact"), 6).alias("recall"),
+        (F.col("n_lsh") / F.col("n_exact") >= 0.99).alias("recall_ok"),
+    )
 
 
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -653,6 +814,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dups": q_fingerprint_dups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_lsh_pairs_prod": q_minhash_lsh_pairs_prod,
+        "lsh_recall_report": q_lsh_recall_report,
         "containment_pairs": q_containment_pairs,
         "cc_clusters": q_cc_clusters,
         "incremental_dedup": q_incremental_dedup,
@@ -849,6 +1012,30 @@ WHERE bit_count(xor(a.phash, b.phash)) <= 3
         # the LSH tier has no posting cap (band floods star-link
         # instead), so its oracle stays uncapped
         "minhash_lsh_pairs": _oracle_jaccard(MINHASH_T, _ORACLE_SHINGLE_PAIRS),
+        # production threshold (j=0.7): full seeded-signature recompute
+        "minhash_lsh_pairs_prod": _oracle_minhash_lsh_cte()
+        + "SELECT id1, id2, jaccard FROM lsh\n",
+        # north-rule recall gate: n_exact and n_lsh both recomputed in
+        # SQL; recall_ok pinned TRUE so an engine recall < 0.99 is a
+        # hash MISMATCH (gate failure), not a silently-recorded number
+        "lsh_recall_report": _oracle_minhash_lsh_cte()
+        + f""", ex AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+exf AS (
+  SELECT ex.id1, ex.id2 FROM ex
+  JOIN c c1 ON c1.doc_id = ex.id1
+  JOIN c c2 ON c2.doc_id = ex.id2
+  WHERE i / (c1.n + c2.n - i) >= {JACCARD_T}
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM exf) AS n_exact,
+       (SELECT CAST(count(*) AS BIGINT) FROM lsh) AS n_lsh,
+       round((SELECT count(*) FROM lsh) * 1.0
+             / (SELECT count(*) FROM exf), 6) AS recall,
+       TRUE AS recall_ok
+""",
         # full SimHash signature recompute in SQL: FNV-1a over each
         # token's bytes (ASCII corpus ⇒ ascii(char) = utf-8 byte;
         # HUGEINT mod 2^64 emulates the wrapping multiply), ±1
