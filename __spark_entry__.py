@@ -634,6 +634,77 @@ def q_ann_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id1", "id2", F.round("cosine", 6).alias("cosine"))
 
 
+IVF_K, IVF_ITERS, IVF_PROBE = 16, 5, 3  # pinned gate config (deterministic)
+GANN_BITS, GANN_TABLES = 4, 16  # gaussian-LSH gate config (seeded planes)
+
+
+def _embedding_recall_report(exact: DataFrame, found: DataFrame) -> DataFrame:
+    """One-row soundness + recall gate shared by the IVF and
+    gaussian-ANN tiers (VERDICT r2 'next round' #2): n_exact (SQL-
+    pinned), n_found (SQL-pinned at the deterministic full-recall
+    config — any recall drift mismatches), n_unsound (pinned 0:
+    verified output must be ⊆ the exact pair set), recall_ok (oracle
+    pins TRUE; engine computes n_found/n_exact >= 0.99)."""
+    ne = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    nf = found.agg(F.count(F.lit(1)).cast("long").alias("n_found"))
+    nu = found.join(exact, ["id1", "id2"], "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("n_unsound")
+    )
+    return (
+        ne.crossJoin(nf)
+        .crossJoin(nu)
+        .select(
+            "n_exact",
+            "n_found",
+            "n_unsound",
+            (F.col("n_found") / F.col("n_exact") >= 0.99).alias("recall_ok"),
+        )
+    )
+
+
+def q_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF tier (distributed k-means coarse quantizer → multi-probe
+    cell join → exact-cosine verify) under the driver gate. The
+    quantizer is deterministic (hash-min init, decimal-exact sums,
+    6dp-rounded centroids), so at the pinned config (k=16, 5 iters,
+    n_probe=3) recall vs the exact cos>=0.45 pair set is a constant
+    the oracle pins exactly."""
+    from dedup_spark.operators.embeddings import (
+        ivf_verified_pairs, kmeans_centroids,
+    )
+
+    emb = _emb(spark, sf_dir)
+    exact = cosine_scores_gemm(emb, threshold=COSINE_T).select("id1", "id2")
+    cents = kmeans_centroids(emb, k=IVF_K, iters=IVF_ITERS)
+    ivf = ivf_verified_pairs(
+        emb, cents, threshold=COSINE_T, n_probe=IVF_PROBE
+    ).select("id1", "id2")
+    return _embedding_recall_report(exact, ivf)
+
+
+def q_ann_gaussian_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The seeded-gaussian hyperplane family (the production ANN
+    alternative to the SQL-reproducible axis family) under the driver
+    gate, via the same soundness + recall report. Planes come from the
+    pinned rng seed, so the candidate set — hence recall — is
+    deterministic; 4 bits × 16 tables gives full recall at the gate
+    corpus's cos>=0.45 working point."""
+    cfg = DedupConfig(
+        cosine_threshold=COSINE_T,
+        ann_hyperplanes=GANN_BITS,
+        ann_tables=GANN_TABLES,
+    )
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    exact = cosine_scores_gemm(emb, threshold=COSINE_T).select("id1", "id2")
+    ann = ann_verified_pairs(
+        emb, id_col="vec_id", vec_col="embedding", cfg=cfg, dim=EMB_DIM,
+        planes="random", max_bucket=1 << 20,
+    ).select("id1", "id2")
+    return _embedding_recall_report(exact, ann)
+
+
 def q_simhash_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash over tokens + Hamming-band candidate join. Banding
     is pigeonhole-exact for the radius, so the output equals the exact
@@ -822,6 +893,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs": q_cosine_pairs,
         "cosine_topk": q_cosine_topk,
         "ann_cosine_pairs": q_ann_cosine_pairs,
+        "ivf_recall_report": q_ivf_recall_report,
+        "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
         "substring_containment": q_substring_containment,
         "doc_fingerprints": q_doc_fingerprints,
@@ -1196,6 +1269,26 @@ scored AS (
 """
             + f"SELECT id1, id2, cosine FROM scored WHERE cosine >= {COSINE_T}\n"
         ),
+        # soundness + recall gates for the approximate embedding tiers:
+        # n_exact and n_found both pin to the SQL brute-force count (the
+        # pinned configs achieve full recall deterministically — seeded
+        # planes / deterministic k-means — so any drift mismatches);
+        # n_unsound pins 0 (verified ⊆ exact); recall_ok pins TRUE so a
+        # recall regression is a gate FAILURE
+        "ivf_recall_report": _ORACLE_COSINE_BASE
+        + f"""
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM p WHERE cosine >= {COSINE_T}) AS n_exact,
+       (SELECT CAST(count(*) AS BIGINT) FROM p WHERE cosine >= {COSINE_T}) AS n_found,
+       CAST(0 AS BIGINT) AS n_unsound,
+       TRUE AS recall_ok
+""",
+        "ann_gaussian_recall": _ORACLE_COSINE_BASE
+        + f"""
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM p WHERE cosine >= {COSINE_T}) AS n_exact,
+       (SELECT CAST(count(*) AS BIGINT) FROM p WHERE cosine >= {COSINE_T}) AS n_found,
+       CAST(0 AS BIGINT) AS n_unsound,
+       TRUE AS recall_ok
+""",
         "cosine_pairs": _ORACLE_COSINE_BASE
         + f"""
 SELECT id1, id2, cosine FROM p WHERE cosine >= {COSINE_T}
