@@ -73,6 +73,56 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     assert spark.read.parquet(state).count() == 1
 
 
+def test_bucketed_state_join_is_shuffle_free_on_state_side(spark, tmp_path):
+    """Bucketed state store: (1) 3-batch replay through the bucketed
+    path produces the same assignments as the parquet-dir path; (2) the
+    per-batch state join's plan has NO Exchange feeding the state scan —
+    only the micro-batch side shuffles (the state is the unbounded
+    side; never re-shuffling it is the scale contract)."""
+    from pyspark.sql import functions as F
+
+    state_tbl = "inc_state_bkt_t"
+    out = str(tmp_path / "outb")
+    spark.sql(f"DROP TABLE IF EXISTS {state_tbl}")
+    rows = [
+        [_row("a1", _px(1)), _row("b1", _px(2))],
+        [_row("a2", _px(1)), _row("c1", _px(3))],
+        [_row("c2", _px(3)), _row("d1", _px(4))],
+    ]
+    for batch_rows in rows:
+        process_batch(
+            spark, _mkdf(spark, batch_rows), "", out,
+            state_table=state_tbl, n_buckets=4,
+        )
+    got = {r["image_id"]: r["cluster_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {
+        "a1": "a1", "a2": "a1", "b1": "b1", "c1": "c1", "c2": "c1", "d1": "d1",
+    }
+    # state: one row per distinct content
+    assert spark.table(state_tbl).count() == 4
+
+    # plan proof: probe the exact join shape process_batch builds
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        probe = _mkdf(spark, [_row("z1", _px(9))])
+        from dedup_spark.streaming.incremental import _batch_hashes
+
+        hashes = _batch_hashes(probe, "image_id", "bytes")
+        joined = hashes.join(spark.table(state_tbl), on=["len", "fsha"], how="left")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # exactly ONE Exchange: the batch side; the bucketed state scan
+        # feeds the join directly
+        assert plan.count("Exchange") == 1
+        # and the state scan reports its bucketing (the reason the
+        # second Exchange is absent)
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {state_tbl}")
+
+
 def test_windowed_dup_rate_plan_is_streaming_safe(spark, tmp_path):
     """The watermarked window agg must be an allowed streaming plan:
     start it on a file stream and drain one batch."""
