@@ -133,7 +133,7 @@ def _marker_sum(lang: str) -> str:
 # per-doc set sizes stay uncapped — so the capped queries and their
 # oracles agree on ANY corpus, not just ones where the cap is
 # untriggered (round-2 review finding).
-def _oracle_shingle_pairs(cap: int | None) -> str:
+def _oracle_shingle_pairs(cap: int | None, source: str = "documents") -> str:
     if cap is None:
         joinable = "sh"
     else:
@@ -144,7 +144,7 @@ def _oracle_shingle_pairs(cap: int | None) -> str:
   )"""
     return f"""
 WITH t AS (
-  SELECT doc_id, {_TOKS} AS arr FROM documents WHERE text IS NOT NULL
+  SELECT doc_id, {_TOKS} AS arr FROM {source} WHERE text IS NOT NULL
 ),
 pos AS (
   SELECT doc_id, arr, unnest(range(1, len(arr) - 1)) AS i
@@ -589,6 +589,39 @@ def q_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("id").alias("doc_id"), "cluster_id")
 
 
+FLOOD_N, FLOOD_BASE = 200, 1_000_000  # flood-gate corpus augmentation
+
+
+def q_flood_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The star-guard story proven at the QUERY level (VERDICT r2 'next
+    round' #7): the corpus is augmented with a deliberate duplicate
+    flood (200 byte-identical copies of doc 0 — every band bucket that
+    contains doc 0 then holds 201 members, >> the default guard of 64),
+    and the DEFAULT-guard production pipeline (LSH candidates →
+    verify → connected components) runs over it. The guard star-links
+    the flood instead of emitting its ~20k within-bucket pairs, and CC
+    must still reconstruct the exact clusters — which the oracle
+    computes as a recursive CTE over the uncapped exact j>=0.7 pair
+    graph of the same augmented corpus. Cluster-level recall under
+    skew, gated end-to-end."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    d0 = docs.filter(F.col("doc_id") == 0).select("text")
+    copies = (
+        spark.range(FLOOD_N)
+        .select((F.lit(FLOOD_BASE) + F.col("id")).cast("long").alias("doc_id"))
+        .crossJoin(F.broadcast(d0))
+    )
+    aug = docs.unionByName(copies).filter(
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) >= K
+    )
+    # DEFAULT guard (64) — the whole point: the flood MUST star-link
+    pairs = minhash_near_duplicates(
+        aug, id_col="doc_id", text_col="text", cfg=DEFAULT_CONFIG
+    )
+    cc = connected_components(pairs.select("id1", "id2"))
+    return cc.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine similarity pairs >= threshold, via
     broadcast-corpus GEMM (one BLAS call per Arrow batch)."""
@@ -889,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall_report": q_lsh_recall_report,
         "containment_pairs": q_containment_pairs,
         "cc_clusters": q_cc_clusters,
+        "flood_cc_clusters": q_flood_cc_clusters,
         "incremental_dedup": q_incremental_dedup,
         "cosine_pairs": q_cosine_pairs,
         "cosine_topk": q_cosine_topk,
@@ -1208,6 +1242,37 @@ WHERE a.text IS NOT NULL AND b.text IS NOT NULL
   AND (strlen(a.text) < strlen(b.text)
        OR (strlen(a.text) = strlen(b.text) AND a.doc_id < b.doc_id))
   AND position(a.text IN b.text) > 0
+""",
+        # flood gate: uncapped exact CC over the flood-augmented corpus
+        # (the engine runs the default star guard; cluster-level
+        # equality is exactly what the guard must preserve)
+        "flood_cc_clusters": _oracle_shingle_pairs(None, "aug").replace(
+            "WITH t AS",
+            f"""WITH RECURSIVE aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT {FLOOD_BASE} + i AS doc_id,
+         (SELECT text FROM documents WHERE doc_id = 0) AS text
+  FROM range({FLOOD_N}) r(i)
+), t AS""",
+            1,
+        )
+        + f""",
+e AS (
+  SELECT id1 AS a, id2 AS b FROM scored
+  WHERE inter / (n1 + n2 - inter) >= {JACCARD_T}
+),
+sym AS (
+  SELECT a, b FROM e UNION SELECT b, a FROM e
+  UNION SELECT a, a FROM e UNION SELECT b, b FROM e
+),
+reach(src, dst) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.src, y.b FROM reach r JOIN sym y ON r.dst = y.a
+)
+SELECT src AS doc_id, min(dst) AS cluster_id
+FROM reach GROUP BY src
 """,
         "cc_clusters": _ORACLE_SHINGLE_PAIRS_CAPPED.replace(
             "WITH t AS", "WITH RECURSIVE t AS", 1

@@ -49,3 +49,37 @@ def test_multi_bucket_dedup_and_carry(spark):
 def test_singleton_buckets_emit_nothing(spark):
     rows = [("a", 1, 0), ("b", 2, 0)]
     assert star_guarded_pairs(_bucketed(spark, rows), ["b"], max_bucket=4).count() == 0
+
+
+def test_flood_corpus_default_guard_end_to_end(spark):
+    """VERDICT r2 #7: a duplicate flood (120 identical docs, ≫ the
+    default band guard of 64) through the DEFAULT-guard production
+    pipeline. Proves (1) the guard actually fires — candidate pair
+    volume is O(n) star edges, not C(n,2); (2) cluster-level recall
+    survives: CC reunites the whole flood plus the near-dup satellites."""
+    from dedup_spark.operators.components import connected_components
+    from dedup_spark.operators.minhash import band_candidates, minhash_near_duplicates
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = [(i, base) for i in range(120)]  # the flood
+    rows += [(200, base + "tail_a extra_a"), (201, base + "tail_b extra_b")]
+    rows += [(300 + i, f"unrelated text number {i} with its own words here "
+              f"padded out for shingles {i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # (1) guard fires: default max_band_bucket=64 < 120 ⇒ star edges.
+    # All 16 bands of the 120 identical docs collapse to one star each;
+    # uncapped C(120,2)=7140 pairs would dwarf the O(n) bound below.
+    cand = band_candidates(df, "doc_id", "text")
+    n_cand = cand.count()
+    assert n_cand < 4 * 127, n_cand
+
+    # (2) cluster recall: the flood + both satellites form ONE cluster
+    pairs = minhash_near_duplicates(df, id_col="doc_id", text_col="text")
+    cc = connected_components(pairs.select("id1", "id2"))
+    clusters = {r["id"]: r["cluster_id"] for r in cc.collect()}
+    flood_cluster = {clusters[i] for i in range(120)}
+    assert flood_cluster == {0}
+    assert clusters[200] == 0 and clusters[201] == 0
+    for i in range(300, 305):
+        assert i not in clusters or clusters[i] != 0
