@@ -271,6 +271,37 @@ def hyperplane_signature_udf(dim: int, cfg: DedupConfig = DEFAULT_CONFIG):
     return _sig
 
 
+def axis_sign_word(vec_col: str, dim: int):
+    """64-bit sign word: bit c = (embedding[c] > 0), built in ONE array
+    pass (xor-fold of disjoint powers of two — no overflow semantics to
+    worry about under ANSI mode). Requires dim <= 64."""
+    if dim > 64:
+        raise ValueError("axis_sign_word packs at most 64 coordinates")
+    return F.expr(
+        f"aggregate(transform({vec_col}, (x, i) -> "
+        f"IF(x > 0, shiftleft(1L, i), 0L)), 0L, (a, b) -> a ^ b)"
+    )
+
+
+def axis_buckets_from_word(word_col: str, dim: int, cfg: DedupConfig):
+    """array<long> of per-table buckets extracted from the packed sign
+    word with pure bit arithmetic: table t's bit j is word bit
+    (t*bits + j) % dim. Replaces the 48 per-coordinate CASE/element_at
+    expressions that made ann_cosine_pairs the round-2 cpu regression
+    (VERDICT r2 'next round' #8) — the array is now touched once to
+    build the word; each bucket is bits× (shift, mask, add) on a
+    long."""
+    tables = []
+    for t in range(cfg.ann_tables):
+        terms = " + ".join(
+            f"((shiftright({word_col}, {(t * cfg.ann_hyperplanes + j) % dim})"
+            f" & 1L) * {1 << j}L)"
+            for j in range(cfg.ann_hyperplanes)
+        )
+        tables.append(F.expr(f"CAST({terms} AS BIGINT)"))
+    return F.array(*tables)
+
+
 def axis_signature_col(vec_col: str, dim: int, cfg: DedupConfig = DEFAULT_CONFIG):
     """array<long> of per-table bucket keys from AXIS-ALIGNED
     hyperplanes: table t's bit j is sign(embedding[(t*bits + j) % dim]).
@@ -278,7 +309,9 @@ def axis_signature_col(vec_col: str, dim: int, cfg: DedupConfig = DEFAULT_CONFIG
     Axis-aligned planes are a legitimate (if less isotropic) LSH family
     and compile to pure built-in expressions — whole-stage codegen, no
     Python, and trivially reproducible in ANSI SQL, which is how the
-    driver's DuckDB oracle can check the ANN tier end-to-end."""
+    driver's DuckDB oracle can check the ANN tier end-to-end.
+    Fallback path for dim > 64; the hot path packs the signs into one
+    64-bit word first (see ann_candidates)."""
     tables = []
     for t in range(cfg.ann_tables):
         bucket = F.lit(0).cast("long")
@@ -312,15 +345,31 @@ def ann_candidates(
     """
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
-    if planes == "axis":
-        sig = axis_signature_col(vec_col, dim, cfg)
-    else:
-        sig = hyperplane_signature_udf(dim, cfg)(F.col(vec_col))
     from dedup_spark.operators.banding import star_guarded_pairs
 
-    bucketed = corpus.select(
-        F.col(id_col).alias("_id"), F.posexplode(sig).alias("t", "bucket")
-    )
+    if planes == "axis" and dim <= 64:
+        # pack the coordinate signs into one 64-bit word (one array
+        # pass), then extract every table's bucket with bit arithmetic
+        bucketed = (
+            corpus.select(
+                F.col(id_col).alias("_id"),
+                axis_sign_word(vec_col, dim).alias("_sw"),
+            )
+            .select(
+                "_id",
+                F.posexplode(axis_buckets_from_word("_sw", dim, cfg)).alias(
+                    "t", "bucket"
+                ),
+            )
+        )
+    else:
+        if planes == "axis":
+            sig = axis_signature_col(vec_col, dim, cfg)
+        else:
+            sig = hyperplane_signature_udf(dim, cfg)(F.col(vec_col))
+        bucketed = corpus.select(
+            F.col(id_col).alias("_id"), F.posexplode(sig).alias("t", "bucket")
+        )
     return star_guarded_pairs(bucketed, ["t", "bucket"], max_bucket)
 
 
