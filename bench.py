@@ -39,6 +39,7 @@ HEADLINE = [
     "lang_id",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
+    "minhash_lsh_pairs_prod",
     "containment_pairs",
     "cc_clusters",
     "cosine_pairs",

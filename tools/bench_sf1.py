@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""sf1 scaling study (VERDICT r2 'next round' #9): run the text-tier
+suite at 10x the sf0.1 document count and report the per-query time
+ratio — the inverted-index / anchor-join / LSH tiers must scale
+~linearly (ratio ~10 at equal parallelism), with no super-linear query.
+
+The sf1 corpus is derived deterministically from the driver's sf0.1
+documents: 10 replicas, each with every token prefixed by a replica tag
+(replica 0 = the original). Prefixing makes replicas share NO shingles
+or char-grams, so the duplicate/near-dup structure of each replica is
+exactly sf0.1's and the workload is a clean 10x scale-up rather than a
+10-way duplicate flood (which would change the problem, not the scale).
+doc_ids are offset by 1M per replica to stay unique.
+
+Usage: python tools/bench_sf1.py [--skip-base] [--only q1,q2]
+Writes BENCH/sf1_scaling.json and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE_SF = "/root/testdata/sf0.1"
+SF1_DIR = "/tmp/dedup_spark_bench/sf1"
+REPLICAS = 10
+
+# documents-table text tier only (embeddings/images scale separately)
+TEXT_QUERIES = [
+    "text_stats",
+    "token_counts",
+    "lang_id",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "minhash_lsh_pairs_prod",
+    "containment_pairs",
+    "cc_clusters",
+    "simhash_text_pairs",
+    "substring_containment",
+    "doc_fingerprints",
+]
+
+
+def build_sf1(spark) -> None:
+    from pyspark.sql import functions as F
+
+    out = os.path.join(SF1_DIR, "documents.parquet")
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return
+    docs = spark.read.parquet(os.path.join(BASE_SF, "documents.parquet"))
+    reps = []
+    for r in range(REPLICAS):
+        d = docs.withColumn(
+            "doc_id", (F.col("doc_id") + F.lit(r * 1_000_000)).cast("long")
+        )
+        if r > 0:
+            # prefix every token: replicas share no shingles/grams
+            d = d.withColumn(
+                "text", F.regexp_replace(F.col("text"), r"(\w+)", f"q{r}$1")
+            )
+        reps.append(d)
+    aug = reps[0]
+    for d in reps[1:]:
+        aug = aug.unionByName(d)
+    aug.repartition(32).write.mode("overwrite").parquet(out)
+
+
+def run_suite(sf_dir: str, names: list[str]) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    cmd = [sys.executable, "bench.py", "--only", ",".join(names)]
+    p = subprocess.run(
+        cmd, env=env, capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None)
+    ap.add_argument("--skip-base", action="store_true")
+    args = ap.parse_args()
+    names = args.only.split(",") if args.only else TEXT_QUERIES
+
+    from dedup_spark.session import get_spark
+
+    spark = get_spark("sf1_build")
+    build_sf1(spark)
+    spark.stop()
+
+    sf1 = run_suite(SF1_DIR, names)
+    base = None if args.skip_base else run_suite(BASE_SF, names)
+
+    report = {"metric": "sf1_scaling", "replicas": REPLICAS, "queries": {}}
+    for q in names:
+        entry = {
+            "sf1_wall": sf1["queries"].get(q),
+            "sf1_cpu": sf1["cpu_sec"].get(q),
+        }
+        if base:
+            entry["sf01_wall"] = base["queries"].get(q)
+            entry["sf01_cpu"] = base["cpu_sec"].get(q)
+            if entry["sf01_cpu"]:
+                entry["cpu_ratio"] = round(entry["sf1_cpu"] / entry["sf01_cpu"], 2)
+        report["queries"][q] = entry
+    if base:
+        ratios = [
+            v["cpu_ratio"] for v in report["queries"].values() if "cpu_ratio" in v
+        ]
+        report["max_cpu_ratio"] = max(ratios)
+        report["superlinear"] = [
+            q for q, v in report["queries"].items()
+            if v.get("cpu_ratio", 0) > 1.3 * REPLICAS
+        ]
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/sf1_scaling.json", "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
