@@ -53,35 +53,43 @@ HEADLINE = [
 
 
 def _proc_cpu_seconds() -> float:
-    """Total CPU seconds of this process + live child JVMs (Linux).
+    """Total CPU seconds of this process and ALL live descendants
+    (Linux) — the JVM and, crucially, the pyspark.daemon python workers
+    it forks (grandchildren; a PPID==self filter missed them, which
+    under-counted every pandas-UDF stage — round-3 fix).
 
     Wall-clock on this sandbox is governed by a fluctuating,
     oversubscribed host CPU; cpu-seconds per row is the
     contention-independent cost measure (see BENCH/BASELINE.md)."""
-    import re
-
     hz = os.sysconf("SC_CLK_TCK")
-    total = 0.0
     me = os.getpid()
     try:
         with open("/proc/self/stat") as f:
             parts = f.read().rsplit(")", 1)[1].split()
-        total += (int(parts[11]) + int(parts[12])) / hz  # utime+stime
+        total = (int(parts[11]) + int(parts[12])) / hz  # utime+stime
         total += (int(parts[13]) + int(parts[14])) / hz  # children (reaped)
     except OSError:
         return 0.0
+    ppid_of: dict[int, int] = {}
+    cpu_of: dict[int, float] = {}
     for pid in os.listdir("/proc"):
         if not pid.isdigit():
             continue
         try:
             with open(f"/proc/{pid}/stat") as f:
-                raw = f.read()
-            comm = raw.split("(", 1)[1].rsplit(")", 1)[0]
-            rest = raw.rsplit(")", 1)[1].split()
-            if int(rest[1]) == me and re.search(r"java", comm):
-                total += (int(rest[11]) + int(rest[12])) / hz
+                rest = f.read().rsplit(")", 1)[1].split()
+            ppid_of[int(pid)] = int(rest[1])
+            cpu_of[int(pid)] = (int(rest[11]) + int(rest[12])) / hz
         except (OSError, IndexError, ValueError):
             continue
+    kids: dict[int, list[int]] = {}
+    for pid, ppid in ppid_of.items():
+        kids.setdefault(ppid, []).append(pid)
+    stack = list(kids.get(me, []))
+    while stack:
+        pid = stack.pop()
+        total += cpu_of.get(pid, 0.0)
+        stack.extend(kids.get(pid, []))
     return total
 
 

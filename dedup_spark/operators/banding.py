@@ -41,6 +41,15 @@ def star_guarded_pairs(
     scores) must NOT be carried; join them back by id instead.
     """
     carry = carry_cols or []
+    # the bucketed input fans out to FIVE consumers below (stats, the
+    # keyed join, both self-join sides, the star center); without a
+    # checkpoint the plan upstream of it — typically an expensive
+    # signature UDF — re-executes for each one. Lazy, so query
+    # construction stays free of Spark jobs; the first action
+    # materializes (id, bucket) rows once and every consumer reads
+    # that. (Round-3 fix: the minhash tier's wall time was dominated
+    # by 3-5x signature recomputes.)
+    bucketed = bucketed.localCheckpoint(eager=False)
     stats = (
         bucketed.groupBy(*bucket_cols)
         .agg(F.count(F.lit(1)).alias("_n"), F.min(id_col).alias("_minid"))

@@ -292,6 +292,9 @@ def jaccard_verify(
     shingled = (
         df.join(ids, df[id_col] == ids["_id"], "left_semi")
         .select(F.col(id_col).alias("_id"), sh(F.col(text_col)).alias("_sh"))
+        # both pair sides consume this — checkpoint so the shingle UDF
+        # runs once (lazy: no job at build time)
+        .localCheckpoint(eager=False)
     )
     s1 = shingled.select(F.col("_id").alias("id1"), F.col("_sh").alias("_sh1"))
     s2 = shingled.select(F.col("_id").alias("id2"), F.col("_sh").alias("_sh2"))
