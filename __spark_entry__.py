@@ -4,6 +4,15 @@ EVERY ``queries()`` entry has a matching ``oracle_sql()`` entry (DuckDB
 runs the SQL on the same parquet tables; the driver compares row count,
 schema, and an order-insensitive value hash) — zero rows-only queries.
 The approximate tiers are made oracle-checkable by construction:
+  * the PRODUCTION-threshold (j=0.7) MinHash-LSH tier is recomputed
+    end-to-end in SQL (seeded permutations inlined as VALUES — see
+    _oracle_minhash_lsh_cte) and additionally gated on dup-pair recall
+    >= 0.99 vs the exact pair set (the north-rule metric,
+    lsh_recall_report);
+  * IVF and gaussian-hyperplane ANN gate on one-row soundness+recall
+    reports pinned to the SQL brute-force cosine count;
+  * a duplicate-flood corpus (flood_cc_clusters) drives the
+    DEFAULT-guard pipeline against a recursive-CTE cluster oracle;
   * LSH banding (MinHash 16×4) is compared at a band-safe threshold
     where the candidate-miss probability is ~4e-8 (see MINHASH_T);
   * Hamming banding is pigeonhole-EXACT for its radius, so SimHash and
