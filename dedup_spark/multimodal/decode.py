@@ -3,9 +3,11 @@
 Images, audio, and video are opaque `binary` columns with typed metadata
 (w, h, fmt). All pixel work happens in Arrow-batched pandas UDFs via
 mapInPandas — the Spark-side plumbing (schema, batch shape, partition
-sizing) is real and tested; codec-heavy decodes (jpeg/png/webp) are
-STUBBED behind an import-try since the imaging libs are not in this
-container. PPM (the fixture format) decodes for real in pure numpy.
+sizing) is real and tested. TWO formats decode for real with zero
+imaging libs: PPM (pure numpy) and PNG (stdlib zlib + numpy unfilter,
+multimodal/png.py — 8-bit grey/RGB/RGBA, all five filters). Remaining
+codec-heavy decodes (jpeg/webp) sit behind a PIL import-try since
+those libs are not in this container.
 
 Batch-shape contract: mapInPandas receives an iterator of pandas
 DataFrames whose size is bounded by spark.sql.execution.arrow.
@@ -40,6 +42,10 @@ def _decode_any(data: bytes, fmt: str) -> np.ndarray | None:
     try:
         if fmt == "ppm":
             return decode_ppm(bytes(data))
+        if fmt == "png":
+            from dedup_spark.multimodal.png import decode_png
+
+            return decode_png(bytes(data))
         if _HAS_PIL:
             import io
 
