@@ -88,3 +88,30 @@ def test_subword_count_bpe_ish(spark):
     got = {r["i"]: r["n"] for r in df.select("i", subword_count(F.col("t")).alias("n")).collect()}
     want = {r[0]: r[2] for r in rows}
     assert got == want
+
+
+def test_formatter_column_forms_match_python(spark):
+    """The Spark-expression formatters (what the driver oracle checks)
+    must render byte-for-byte what the driver-side Python renders,
+    across every unit branch and its boundaries."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dedup_spark.functions.formatting import (
+        format_bytes, format_bytes_col, format_number, format_number_col,
+    )
+
+    vals = [
+        0, 1, 999, 1000, 1023, 1024, 1025, 1536, 1024**2 - 1, 1024**2,
+        10 * 1024**2 + 7, 1024**3, 5 * 1024**3 + 12345, 1024**4,
+        1024**5, 3 * 1024**5 + 99, 123456789,
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"n": vals}), "n long")
+    got = df.select(
+        "n",
+        format_number_col(F.col("n")).alias("fn"),
+        format_bytes_col(F.col("n")).alias("fb"),
+    ).collect()
+    for r in got:
+        assert r["fn"] == format_number(r["n"]), r["n"]
+        assert r["fb"] == format_bytes(r["n"]), r["n"]
