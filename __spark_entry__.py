@@ -892,6 +892,114 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native stateful streaming dedup, driver-checkable: the events
+    table is replayed through a REAL Structured Streaming query (file
+    source, one file per micro-batch via maxFilesPerTrigger=1 +
+    availableNow) as THREE time-ordered slices with INJECTED
+    at-least-once duplicates — every event_id % 5 == 0 row is sent
+    twice within its own batch, and each slice's final-day rows with
+    event_id % 7 == 0 are re-sent at the head of the NEXT batch (a
+    cross-batch producer retry, lag ≤ 1 day). The stream runs
+    ``dropDuplicatesWithinWatermark(event_id)`` at a 5-day horizon
+    (streaming/incremental.py dedup_within_watermark), so every
+    injected duplicate is within state and every original must be
+    emitted EXACTLY once: the oracle is the events table itself. A
+    missed dedup inflates the row count; a mis-evicted original
+    deflates it; any value corruption fails the hash. The
+    complementary semantic (beyond-horizon re-arrival re-emits —
+    bounded state, absorbed downstream by the idempotent MERGE) is
+    pytest-proven in tests/test_streaming.py.
+
+    Like q_incremental_dedup the replay is inherently eager (a real
+    streaming query runs at call time); DEDUP_SPARK_EXPLAIN_ONLY=1
+    returns a lazy schema-identical stand-in."""
+    def out_cols():
+        return [
+            F.col("event_id").cast("long").alias("event_id"),
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("event_type"),
+            F.round(F.col("value"), 6).alias("value"),
+        ]
+
+    # the parquet ts is TIMESTAMP_NTZ; watermarks require TIMESTAMP, so
+    # the replay casts under a pinned-UTC session tz (NTZ-as-UTC — the
+    # instant DuckDB's epoch_us sees) and materializes ts_us INSIDE the
+    # eager replay, making the persisted result timezone-independent
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    if os.environ.get("DEDUP_SPARK_EXPLAIN_ONLY"):
+        return events.select(*out_cols()).limit(0)
+    import shutil
+    import tempfile
+    import time
+
+    from dedup_spark.streaming.incremental import (
+        dedup_within_watermark,
+        replay_ordered_files,
+    )
+
+    root = "/tmp/dedup_spark_stream_q"
+    os.makedirs(root, exist_ok=True)
+    for d in os.listdir(root):
+        p = os.path.join(root, d)
+        if os.path.isdir(p) and time.time() - os.path.getmtime(p) > 3600:
+            shutil.rmtree(p, ignore_errors=True)
+    base = tempfile.mkdtemp(
+        prefix=f"wm_{os.path.basename(sf_dir.rstrip('/'))}_", dir=root
+    )
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    os.makedirs(in_dir)
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+        span = hi - lo
+        cuts = [lo + span / 3, lo + 2 * span / 3]
+        slices = [
+            events.filter(F.col("ts") < F.lit(cuts[0])),
+            events.filter(
+                (F.col("ts") >= F.lit(cuts[0])) & (F.col("ts") < F.lit(cuts[1]))
+            ),
+            events.filter(F.col("ts") >= F.lit(cuts[1])),
+        ]
+        import datetime
+
+        day = datetime.timedelta(days=1)
+        for k, sl in enumerate(slices):
+            batch = sl.unionAll(sl.filter(F.col("event_id") % 5 == 0))
+            if k > 0:  # producer retry: previous slice's tail, ≤1 day late
+                batch = batch.unionAll(
+                    slices[k - 1].filter(
+                        (F.col("event_id") % 7 == 0)
+                        & (F.col("ts") >= F.lit(cuts[k - 1] - day))
+                    )
+                )
+            tmp = f"{base}/raw{k}"
+            batch.coalesce(1).write.parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp)
+                if f.endswith(".parquet") and not f.startswith(".")
+            )
+            dst = f"{in_dir}/b{k}.parquet"
+            shutil.move(os.path.join(tmp, part), dst)
+            os.utime(dst, (1700000000 + 100 * k, 1700000000 + 100 * k))
+
+        replay_ordered_files(
+            spark, in_dir, events.schema,
+            lambda s: dedup_within_watermark(
+                s, ["event_id"], "ts", "5 days"
+            ).select(*out_cols()),
+            out_dir, ckpt,
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    return spark.read.parquet(out_dir)
+
+
 def _fixture_images(spark: SparkSession):
     """The pinned synthesized image+caption corpus (input_hint schema),
     read from the SAME parquet file the DuckDB oracles read — golden
@@ -981,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_clusters": q_cc_clusters,
         "flood_cc_clusters": q_flood_cc_clusters,
         "incremental_dedup": q_incremental_dedup,
+        "streaming_watermark_dedup": q_streaming_watermark_dedup,
         "cosine_pairs": q_cosine_pairs,
         "cosine_topk": q_cosine_topk,
         "ann_cosine_pairs": q_ann_cosine_pairs,
@@ -1276,6 +1385,15 @@ WITH g AS (
 SELECT d.doc_id, g.cluster_id
 FROM documents d JOIN g ON substr(d.text, 1, 16) = g.p
 WHERE d.text IS NOT NULL
+""",
+        # the streaming dedup must emit every original event exactly
+        # once: all injected duplicates (within-batch double-sends and
+        # ≤1-day cross-batch retries) are within the 5-day watermark
+        # horizon, so the deduped stream IS the events table
+        "streaming_watermark_dedup": """
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+       round(value, 6) AS value
+FROM events
 """,
         # full rolling-hash recompute: per (doc, position) gram = XOR of
         # multiplier-mixed bytes (HUGEINT emulates the wrapping multiply;

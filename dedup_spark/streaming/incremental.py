@@ -166,6 +166,67 @@ def start_incremental_dedup(
     return writer.start()
 
 
+def dedup_within_watermark(
+    stream_df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    delay: str = "2 days",
+) -> DataFrame:
+    """Event-time streaming dedup with BOUNDED state: emit the first
+    row seen per key; drop re-arrivals whose original is still within
+    the watermark horizon. Built on Spark's native
+    ``dropDuplicatesWithinWatermark`` stateful operator — per-key state
+    is evicted once the watermark passes event_time + delay, so state
+    size is O(keys per delay window), not O(all keys ever), which is
+    what makes exactly-once ingest dedup viable on an unbounded
+    10^12-row stream (the content-hash *state table* in
+    ``process_batch`` is the complementary forever-memory tier; this
+    operator is the cheap in-flight tier that absorbs retry/replay
+    duplicates — e.g. at-least-once upstream producers — before they
+    ever reach the table MERGE).
+
+    Contract (pytest-proven in tests/test_streaming.py): a duplicate
+    arriving within ``delay`` of the original's event time is dropped;
+    one arriving after the state horizon is re-emitted (bounded state
+    is a semantic trade, not a bug — the downstream idempotent MERGE
+    absorbs the stragglers)."""
+    return stream_df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
+def replay_ordered_files(
+    spark: SparkSession,
+    in_dir: str,
+    schema: str,
+    transform,
+    out_dir: str,
+    checkpoint_dir: str,
+    timeout_s: int = 300,
+) -> None:
+    """Drive a REAL Structured Streaming query over pre-staged parquet
+    files, one file per micro-batch (`maxFilesPerTrigger=1`, oldest
+    mtime first), drain with availableNow and block until done. This is
+    the deterministic-replay harness the driver oracle uses: batch
+    boundaries (and therefore watermark advancement) are pinned by the
+    files' mtimes, so stateful-operator output is reproducible."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(in_dir)
+    )
+    q = (
+        transform(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    q.stop()
+
+
 def windowed_dup_rate(
     stream_df: DataFrame,
     ts_col: str = "ts",

@@ -9,7 +9,9 @@ import pytest
 
 from dedup_spark.fixtures.images import IMAGES_SCHEMA, encode_ppm, phash64
 from dedup_spark.streaming.incremental import (
+    dedup_within_watermark,
     process_batch,
+    replay_ordered_files,
     start_incremental_dedup,
     windowed_dup_rate,
 )
@@ -121,6 +123,64 @@ def test_bucketed_state_join_is_shuffle_free_on_state_side(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql(f"DROP TABLE IF EXISTS {state_tbl}")
+
+
+def test_dedup_within_watermark_bounded_state_semantics(spark, tmp_path):
+    """The native stateful dedup's full contract, batch by batch:
+    (1) a duplicate key within the same micro-batch is dropped;
+    (2) a re-arrival in a LATER batch while the original is still
+        within the 1-day horizon is dropped;
+    (3) a re-arrival AFTER the watermark evicted the original's state
+        is re-emitted — bounded state is the explicit trade (the
+        downstream idempotent MERGE absorbs these stragglers), which
+        is what keeps state O(keys per horizon) on an unbounded
+        stream instead of O(all keys ever)."""
+    schema = "k string, ts timestamp"
+    in_dir = str(tmp_path / "win")
+    import os
+
+    os.makedirs(in_dir)
+    files = [
+        # batch 0: A twice (same-batch dup) + B
+        [("A", "2026-01-01 00:00:00"), ("B", "2026-01-01 01:00:00"),
+         ("A", "2026-01-01 00:00:00")],
+        # batch 1: A again 12h later (state alive: horizon 1 day) + C,
+        # whose ts advances the watermark to 01-09
+        [("A", "2026-01-01 12:00:00"), ("C", "2026-01-10 00:00:00")],
+        # batch 2: eviction is committed lazily (a same-batch lookup
+        # still sees expired-but-unremoved state), so an unrelated
+        # batch runs under the 01-09 watermark to flush A and B out
+        [("D", "2026-01-10 02:00:00")],
+        # batch 3: A re-arrives after eviction -> re-emitted
+        [("A", "2026-01-10 03:00:00")],
+    ]
+    for i, rows in enumerate(files):
+        pdf = pd.DataFrame({"k": [r[0] for r in rows],
+                            "ts": pd.to_datetime([r[1] for r in rows])})
+        raw = str(tmp_path / f"raw{i}")
+        spark.createDataFrame(pdf, schema=schema).coalesce(1).write.parquet(raw)
+        part = next(f for f in os.listdir(raw)
+                    if f.endswith(".parquet") and not f.startswith("."))
+        dst = f"{in_dir}/b{i}.parquet"
+        os.rename(os.path.join(raw, part), dst)
+        os.utime(dst, (1700000000 + 100 * i, 1700000000 + 100 * i))
+
+    out, ckpt = str(tmp_path / "wout"), str(tmp_path / "wckpt")
+    replay_ordered_files(
+        spark, in_dir, schema,
+        lambda s: dedup_within_watermark(s, ["k"], "ts", "1 day"),
+        out, ckpt,
+    )
+    got = sorted(
+        (r["k"], str(r["ts"])) for r in spark.read.parquet(out).collect()
+    )
+    assert got == [
+        ("A", "2026-01-01 00:00:00"),  # first arrival
+        ("A", "2026-01-10 03:00:00"),  # re-emitted after state eviction
+        ("B", "2026-01-01 01:00:00"),
+        ("C", "2026-01-10 00:00:00"),
+        ("D", "2026-01-10 02:00:00"),
+    ]
 
 
 def test_windowed_dup_rate_plan_is_streaming_safe(spark, tmp_path):
