@@ -1000,6 +1000,99 @@ def q_streaming_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
+def q_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator, driver-checkable: gap-based
+    event-time sessionization (streaming/sessionize.py — per-user
+    applyInPandasWithState with an event-time timeout; 12 h idle gap)
+    over the events table replayed as THREE time-ordered micro-batches
+    plus two sentinel batches that advance the watermark past every
+    last_event + gap so the final open sessions flush through the
+    timeout path. With in-order replay the stateful fold is equivalent
+    by construction to the batch SQL islands computation, which is the
+    oracle (lag/cumsum session breaks, then min/max/count per island).
+    Exercises every emission path: in-batch closure, cross-batch state
+    carry, and timeout flush; the sentinel user (-1) stays open in
+    state and must never emit.
+
+    Eager like the other replays; DEDUP_SPARK_EXPLAIN_ONLY=1 returns a
+    lazy schema-identical stand-in."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    if os.environ.get("DEDUP_SPARK_EXPLAIN_ONLY"):
+        return (
+            events.select(
+                "user_id",
+                F.unix_micros("ts").alias("session_start_us"),
+                F.unix_micros("ts").alias("session_end_us"),
+                F.lit(0).cast("long").alias("n_events"),
+            ).limit(0)
+        )
+    import datetime
+    import shutil
+    import tempfile
+    import time
+
+    from dedup_spark.streaming.incremental import replay_ordered_files
+    from dedup_spark.streaming.sessionize import sessionize
+
+    root = "/tmp/dedup_spark_stream_q"
+    os.makedirs(root, exist_ok=True)
+    for d in os.listdir(root):
+        p = os.path.join(root, d)
+        if os.path.isdir(p) and time.time() - os.path.getmtime(p) > 3600:
+            shutil.rmtree(p, ignore_errors=True)
+    base = tempfile.mkdtemp(
+        prefix=f"sess_{os.path.basename(sf_dir.rstrip('/'))}_", dir=root
+    )
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    os.makedirs(in_dir)
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+        span = hi - lo
+        cuts = [lo + span / 3, lo + 2 * span / 3]
+        hour = datetime.timedelta(hours=1)
+        batches = [
+            events.filter(F.col("ts") < F.lit(cuts[0])),
+            events.filter(
+                (F.col("ts") >= F.lit(cuts[0])) & (F.col("ts") < F.lit(cuts[1]))
+            ),
+            events.filter(F.col("ts") >= F.lit(cuts[1])),
+            # sentinels: watermark after the first = hi + 13h > every
+            # real last_event + 12h gap; the second makes the timeouts
+            # (which fire one batch behind the watermark) actually run
+            spark.createDataFrame(
+                [(-1, hi + 14 * hour)], "user_id long, ts timestamp"
+            ),
+            spark.createDataFrame(
+                [(-1, hi + 15 * hour)], "user_id long, ts timestamp"
+            ),
+        ]
+        for k, batch in enumerate(batches):
+            tmp = f"{base}/raw{k}"
+            batch.coalesce(1).write.parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp)
+                if f.endswith(".parquet") and not f.startswith(".")
+            )
+            dst = f"{in_dir}/b{k}.parquet"
+            shutil.move(os.path.join(tmp, part), dst)
+            os.utime(dst, (1700000000 + 100 * k, 1700000000 + 100 * k))
+
+        replay_ordered_files(
+            spark, in_dir, "user_id long, ts timestamp",
+            lambda s: sessionize(s, gap="12 hours", delay="1 hour"),
+            out_dir, ckpt,
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    return spark.read.parquet(out_dir).filter(F.col("user_id") >= 0)
+
+
 def _fixture_images(spark: SparkSession):
     """The pinned synthesized image+caption corpus (input_hint schema),
     read from the SAME parquet file the DuckDB oracles read — golden
@@ -1090,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flood_cc_clusters": q_flood_cc_clusters,
         "incremental_dedup": q_incremental_dedup,
         "streaming_watermark_dedup": q_streaming_watermark_dedup,
+        "streaming_sessionization": q_streaming_sessionization,
         "cosine_pairs": q_cosine_pairs,
         "cosine_topk": q_cosine_topk,
         "ann_cosine_pairs": q_ann_cosine_pairs,
@@ -1394,6 +1488,30 @@ WHERE d.text IS NOT NULL
 SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
        round(value, 6) AS value
 FROM events
+""",
+        # batch SQL islands = the stateful sessionization's contract:
+        # session break where the idle gap exceeds 12h, then min/max/
+        # count per island (the streaming replay is in event-time
+        # order, so the fold and the window computation coincide)
+        "streaming_sessionization": """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 12 HOUR
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
 """,
         # full rolling-hash recompute: per (doc, position) gram = XOR of
         # multiplier-mixed bytes (HUGEINT emulates the wrapping multiply;

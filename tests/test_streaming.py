@@ -183,6 +183,69 @@ def test_dedup_within_watermark_bounded_state_semantics(spark, tmp_path):
     ]
 
 
+def test_sessionize_stateful_gap_sessions(spark, tmp_path):
+    """applyInPandasWithState sessionization, full contract over 4
+    ordered micro-batches (gap 2h, watermark delay 1h):
+    - user 10's burst straddles batches 0-1 (state carries the open
+      session across the boundary and merges the continuation);
+    - user 10's second burst is > gap away inside batch 1 (the open
+      session closes IN-batch and emits immediately);
+    - user 20 is a singleton;
+    - the trailing sentinel batches advance the watermark past every
+      last_event + gap so event-time timeouts flush the open sessions
+      (the sentinel user's own still-open session never emits)."""
+    import os
+
+    from dedup_spark.streaming.sessionize import sessionize
+
+    schema = "user_id bigint, ts timestamp"
+    in_dir = str(tmp_path / "sess_in")
+    os.makedirs(in_dir)
+    files = [
+        # batch 0: user 10 burst starts; user 20 singleton
+        [(10, "2026-01-01 00:00:00"), (10, "2026-01-01 01:00:00"),
+         (20, "2026-01-01 00:30:00")],
+        # batch 1: user 10 continues within gap (02:30 - 01:00 < 2h),
+        # then returns > gap later the same day (new session, and the
+        # first one closes in-batch)
+        [(10, "2026-01-01 02:30:00"), (10, "2026-01-01 09:00:00")],
+        # sentinel batches: advance the watermark far past every
+        # timeout (eviction/timeout firing lags one batch)
+        [(-1, "2026-01-02 00:00:00")],
+        [(-1, "2026-01-02 01:00:00")],
+    ]
+    for i, rows in enumerate(files):
+        pdf = pd.DataFrame({"user_id": [r[0] for r in rows],
+                            "ts": pd.to_datetime([r[1] for r in rows])})
+        raw = str(tmp_path / f"sraw{i}")
+        spark.createDataFrame(pdf, schema=schema).coalesce(1).write.parquet(raw)
+        part = next(f for f in os.listdir(raw)
+                    if f.endswith(".parquet") and not f.startswith("."))
+        dst = f"{in_dir}/b{i}.parquet"
+        os.rename(os.path.join(raw, part), dst)
+        os.utime(dst, (1700000000 + 100 * i, 1700000000 + 100 * i))
+
+    out, ckpt = str(tmp_path / "sess_out"), str(tmp_path / "sess_ckpt")
+    replay_ordered_files(
+        spark, in_dir, schema,
+        lambda s: sessionize(s, gap="2 hours", delay="1 hour"),
+        out, ckpt,
+    )
+
+    def us(t):
+        return int(pd.Timestamp(t).value // 1_000)
+
+    got = sorted(
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [
+        (10, us("2026-01-01 00:00:00"), us("2026-01-01 02:30:00"), 3),
+        (10, us("2026-01-01 09:00:00"), us("2026-01-01 09:00:00"), 1),
+        (20, us("2026-01-01 00:30:00"), us("2026-01-01 00:30:00"), 1),
+    ]
+
+
 def test_windowed_dup_rate_plan_is_streaming_safe(spark, tmp_path):
     """The watermarked window agg must be an allowed streaming plan:
     start it on a file stream and drain one batch."""
