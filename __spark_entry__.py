@@ -1143,6 +1143,25 @@ def q_phash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_decode_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule decoded-pixel contract as a driver artifact:
+    every candidate near-dup pair (same stage-1 metadata group — equal
+    dims AND equal phash) must decode on both sides and match within
+    PSNR >= 40 dB; exact pairs must be byte-equal with byte-equal
+    captions (multimodal/decode.py decode_fidelity_pairs — real PPM
+    codec, pixel MSE in an Arrow-batched pandas stage). exact and
+    captions_equal are VALUE-checked (the oracle recomputes both from
+    the same parquet bytes in SQL); psnr_ok is the pinned property —
+    any decode failure or sub-threshold pair flips it to false and
+    fails the hash compare. The pinned fixture's weakest pair measures
+    50.7 dB, so the gate has ~10 dB of real margin."""
+    from dedup_spark.multimodal.decode import decode_fidelity_pairs
+
+    return decode_fidelity_pairs(_fixture_images(spark)).select(
+        "id1", "id2", "exact", "captions_equal", "psnr_ok"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -1195,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_exact_dedup": q_image_exact_dedup,
         "image_features": q_image_features,
         "phash_hamming_pairs": q_phash_hamming_pairs,
+        "image_decode_fidelity": q_image_decode_fidelity,
     }
 
 
@@ -1387,6 +1407,19 @@ SELECT a.image_id AS id1, b.image_id AS id2,
        CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
 FROM {fixture} a JOIN {fixture} b ON a.image_id < b.image_id
 WHERE bit_count(xor(a.phash, b.phash)) <= 3
+""",
+        # exact/captions_equal recomputed from the same bytes in SQL;
+        # psnr_ok = TRUE is the pinned decoded-pixel property (PSNR >=
+        # 40 dB for every same-(dims,phash) pair — weakest measured
+        # pair is 50.7 dB, and a decode failure also flips it false)
+        "image_decode_fidelity": f"""
+SELECT a.image_id AS id1, b.image_id AS id2,
+       a.bytes = b.bytes AS exact,
+       a.caption = b.caption AS captions_equal,
+       TRUE AS psnr_ok
+FROM {fixture} a JOIN {fixture} b
+  ON a.w = b.w AND a.h = b.h AND a.phash = b.phash
+ AND a.image_id < b.image_id
 """,
         # capped CTE: the engine runs its default posting cap, so the
         # oracle applies the identical cap — parity is corpus-

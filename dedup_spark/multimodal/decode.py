@@ -157,6 +157,86 @@ def resize_images(
     )
 
 
+PSNR_SCHEMA = (
+    "id1 string, id2 string, exact boolean, captions_equal boolean, "
+    "psnr_db double, psnr_ok boolean"
+)
+
+
+def score_psnr_pairs(pairs: DataFrame, threshold_db: float = 40.0) -> DataFrame:
+    """Decoded-pixel fidelity of candidate pairs: PSNR between the two
+    decoded payloads (999 dB sentinel for byte-identical / zero-MSE
+    pairs) and psnr_ok = PSNR >= threshold. Input needs columns
+    (id1, bytes1, fmt1, caption1, id2, bytes2, fmt2, caption2);
+    exact/captions_equal are computed JVM-side, only the pixel work is
+    Python. A decode failure on either side yields psnr_ok = false
+    (null psnr_db) rather than killing the job — same unreadable-row
+    skip semantics as the feature extractor (reference
+    src/hasher.rs:57-60)."""
+
+    def _score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for r in pdf.itertuples(index=False):
+                a = _decode_any(r.bytes1, r.fmt1)
+                b = _decode_any(r.bytes2, r.fmt2)
+                if a is None or b is None or a.shape != b.shape:
+                    out.append((r.id1, r.id2, bool(r.exact),
+                                bool(r.captions_equal), None, False))
+                    continue
+                mse = float(
+                    ((a.astype(np.float64) - b.astype(np.float64)) ** 2).mean()
+                )
+                psnr = 999.0 if mse == 0 else 10.0 * np.log10(255.0**2 / mse)
+                out.append((r.id1, r.id2, bool(r.exact),
+                            bool(r.captions_equal), float(psnr),
+                            bool(psnr >= threshold_db)))
+            yield pd.DataFrame(
+                out,
+                columns=["id1", "id2", "exact", "captions_equal",
+                         "psnr_db", "psnr_ok"],
+            )
+
+    return pairs.mapInPandas(_score, schema=PSNR_SCHEMA)
+
+
+def decode_fidelity_pairs(
+    df: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    caption_col: str = "caption",
+    group_cols: tuple = ("w", "h", "phash"),
+    threshold_db: float = 40.0,
+) -> DataFrame:
+    """Candidate near-dup pairs (same stage-1 group: equal dims + equal
+    phash) scored for decoded-pixel fidelity. The self-join keys on the
+    cheap metadata group, so payload movement is O(candidate pairs) —
+    bounded by the stage-1 groups, never the full cross product; at
+    cluster scale the group key is the shuffle key, the same
+    co-location the exact tier already uses."""
+    cols = [id_col, bytes_col, fmt_col, caption_col, *group_cols]
+    a = df.select(*cols).toDF(*[f"{c}__a" for c in cols])
+    b = df.select(*cols).toDF(*[f"{c}__b" for c in cols])
+    joined = a.join(b, on=F.expr(" AND ".join(
+        [f"{g}__a <=> {g}__b" for g in group_cols]
+        + [f"{id_col}__a < {id_col}__b"]
+    )))
+    pairs = joined.select(
+        F.col(f"{id_col}__a").alias("id1"),
+        F.col(f"{bytes_col}__a").alias("bytes1"),
+        F.col(f"{fmt_col}__a").alias("fmt1"),
+        F.col(f"{id_col}__b").alias("id2"),
+        F.col(f"{bytes_col}__b").alias("bytes2"),
+        F.col(f"{fmt_col}__b").alias("fmt2"),
+        (F.col(f"{bytes_col}__a") == F.col(f"{bytes_col}__b")).alias("exact"),
+        (F.col(f"{caption_col}__a") == F.col(f"{caption_col}__b")).alias(
+            "captions_equal"
+        ),
+    )
+    return score_psnr_pairs(pairs, threshold_db=threshold_db)
+
+
 def frame_sample_stub(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame sampling — STUB. Video codecs are absent from the
     container; the real operator would mapInPandas over (video_id, bytes)

@@ -18,9 +18,11 @@ from dedup_spark.fixtures.images import (
     to_spark,
 )
 from dedup_spark.multimodal.decode import (
+    decode_fidelity_pairs,
     extract_image_features,
     frame_sample_stub,
     resize_images,
+    score_psnr_pairs,
 )
 
 
@@ -192,3 +194,55 @@ def test_extract_features_decodes_png_rows(spark):
         assert got[f"p{i}"]["ok"]
         assert got[f"p{i}"]["recomputed_phash"] == int(phash64(px))
     assert not got["broken"]["ok"]
+
+
+def test_score_psnr_pairs_contract(spark):
+    """Decoded-pixel fidelity scorer: exact pair -> 999 dB sentinel;
+    +/-1 single-channel perturbation -> ~53 dB, ok; genuinely
+    different same-size images -> far below 40 dB, NOT ok; an
+    undecodable side -> null psnr, NOT ok (skip, never crash)."""
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    near = base.copy()
+    near[:, :, 0] = np.where(near[:, :, 0] < 255, near[:, :, 0] + 1,
+                             near[:, :, 0] - 1)
+    other = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    rows = [
+        ("a", encode_ppm(base), "ppm", "a2", encode_ppm(base), "ppm", True, True),
+        ("b", encode_ppm(base), "ppm", "b2", encode_ppm(near), "ppm", False, True),
+        ("c", encode_ppm(base), "ppm", "c2", encode_ppm(other), "ppm", False, False),
+        ("d", encode_ppm(base), "ppm", "d2", b"not an image", "ppm", False, False),
+    ]
+    pairs = spark.createDataFrame(
+        rows,
+        "id1 string, bytes1 binary, fmt1 string, id2 string, bytes2 binary,"
+        " fmt2 string, exact boolean, captions_equal boolean",
+    )
+    got = {r["id1"]: r for r in score_psnr_pairs(pairs).collect()}
+    assert got["a"]["psnr_ok"] and got["a"]["psnr_db"] == 999.0
+    assert got["b"]["psnr_ok"] and 48.0 <= got["b"]["psnr_db"] <= 60.0
+    assert not got["c"]["psnr_ok"] and got["c"]["psnr_db"] < 20.0
+    assert not got["d"]["psnr_ok"] and got["d"]["psnr_db"] is None
+
+
+def test_decode_fidelity_pairs_groups_and_scores(spark):
+    """End-to-end: the metadata self-join pairs only same-(w,h,phash)
+    rows and the scorer marks the exact pair byte-equal with equal
+    captions."""
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    other = rng.integers(0, 256, size=(20, 16, 3), dtype=np.uint8)
+    rows = [
+        {"image_id": "x1", "bytes": encode_ppm(px), "w": 16, "h": 16,
+         "fmt": "ppm", "caption": "same cap", "phash": int(phash64(px))},
+        {"image_id": "x2", "bytes": encode_ppm(px), "w": 16, "h": 16,
+         "fmt": "ppm", "caption": "same cap", "phash": int(phash64(px))},
+        {"image_id": "y1", "bytes": encode_ppm(other), "w": 16, "h": 20,
+         "fmt": "ppm", "caption": "other", "phash": int(phash64(other))},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=IMAGES_SCHEMA)
+    got = decode_fidelity_pairs(df).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["id1"], r["id2"]) == ("x1", "x2")
+    assert r["exact"] and r["captions_equal"] and r["psnr_ok"]
