@@ -1000,6 +1000,69 @@ def q_streaming_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
+def q_streaming_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup clustering (streaming/fuzzy.py): the corpus
+    is replayed as THREE doc_id-ordered micro-batches through the
+    band-state + verify + delta-CC + alias-merge foreachBatch body,
+    then the alias forest is resolved. With pair-set-exact banding
+    (band-safe j>=0.9 + guard headroom, same mode as
+    q_minhash_lsh_pairs) the streamed result must equal BATCH
+    connected components over the exact j>=0.9 shingle pair graph —
+    which is exactly the recursive-CTE oracle (singletons
+    self-clustered). 20 of this corpus's 25 pairs cross a batch
+    boundary, so the band-state join (new doc ↔ history) carries the
+    gate; the cluster-MERGE path (a later doc bridging two existing
+    clusters, resolved via the alias forest) does not arise here and
+    is pytest-proven instead (tests/test_streaming.py).
+
+    Eager replay like the other streaming queries;
+    DEDUP_SPARK_EXPLAIN_ONLY=1 returns a lazy stand-in."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).filter(
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) >= K
+    )
+    if os.environ.get("DEDUP_SPARK_EXPLAIN_ONLY"):
+        return docs.select(
+            "doc_id", F.col("doc_id").alias("cluster_id")
+        ).limit(0)
+    import shutil
+    import tempfile
+    import time
+
+    from dedup_spark.streaming.fuzzy import (
+        fuzzy_process_batch,
+        resolve_assignments,
+    )
+
+    root = "/tmp/dedup_spark_stream_q"
+    os.makedirs(root, exist_ok=True)
+    for d in os.listdir(root):
+        p = os.path.join(root, d)
+        if os.path.isdir(p) and time.time() - os.path.getmtime(p) > 3600:
+            shutil.rmtree(p, ignore_errors=True)
+    base = tempfile.mkdtemp(
+        prefix=f"fz_{os.path.basename(sf_dir.rstrip('/'))}_", dir=root
+    )
+    state, out = f"{base}/state", f"{base}/out"
+
+    cfg = DedupConfig(jaccard_threshold=MINHASH_T)
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    cut = (int(hi) + 1) / 3
+    for b in range(3):
+        batch = docs.filter(F.col("doc_id") >= b * cut)
+        if b < 2:
+            batch = batch.filter(F.col("doc_id") < (b + 1) * cut)
+        # pair-set-exact gate mode: guard headroom (see q_minhash_lsh_pairs)
+        fuzzy_process_batch(
+            spark, batch, state, out, cfg=cfg, max_band_bucket=1 << 20
+        )
+    return resolve_assignments(spark, out, f"{state}/alias").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
 def q_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator, driver-checkable: gap-based
     event-time sessionization (streaming/sessionize.py — per-user
@@ -1203,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "streaming_watermark_dedup": q_streaming_watermark_dedup,
         "streaming_sessionization": q_streaming_sessionization,
+        "streaming_fuzzy_dedup": q_streaming_fuzzy_dedup,
         "cosine_pairs": q_cosine_pairs,
         "cosine_topk": q_cosine_topk,
         "ann_cosine_pairs": q_ann_cosine_pairs,
@@ -1521,6 +1585,30 @@ WHERE d.text IS NOT NULL
 SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
        round(value, 6) AS value
 FROM events
+""",
+        # streamed near-dup clustering must equal batch CC over the
+        # exact j>=0.9 pair graph (pair-set-exact banding): recursive
+        # transitive closure, min-id labels, singletons self-clustered
+        "streaming_fuzzy_dedup": _ORACLE_SHINGLE_PAIRS.replace(
+            "WITH t AS", "WITH RECURSIVE t AS", 1
+        )
+        + f""",
+e AS (
+  SELECT id1 AS a, id2 AS b FROM scored
+  WHERE inter / (n1 + n2 - inter) >= {MINHASH_T}
+),
+sym AS (
+  SELECT a, b FROM e UNION SELECT b, a FROM e
+  UNION SELECT a, a FROM e UNION SELECT b, b FROM e
+),
+reach(src, dst) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.src, y.b FROM reach r JOIN sym y ON r.dst = y.a
+),
+cl AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+SELECT c.doc_id, coalesce(cl.cluster_id, c.doc_id) AS cluster_id
+FROM c LEFT JOIN cl ON c.doc_id = cl.doc_id
 """,
         # batch SQL islands = the stateful sessionization's contract:
         # session break where the idle gap exceeds 12h, then min/max/

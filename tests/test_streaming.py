@@ -246,6 +246,56 @@ def test_sessionize_stateful_gap_sessions(spark, tmp_path):
     ]
 
 
+def test_fuzzy_incremental_dedup_with_cluster_merge(spark, tmp_path):
+    """Streaming NEAR-dup tier (streaming/fuzzy.py), the hard case:
+    doc 3 arrives in batch B and bridges docs 1 and 2 (which were
+    separate clusters after batch A because j(1,2) < 0.9 while
+    j(1,3), j(2,3) >= 0.9) — the two existing clusters must MERGE via
+    the alias forest, and the resolved assignment must equal the
+    batch CC result (everyone -> min id 1). Also: a within-batch
+    identical pair clusters immediately, a singleton self-clusters,
+    and replaying a batch is a no-op."""
+    from dedup_spark.config import DedupConfig
+    from dedup_spark.streaming.fuzzy import (
+        fuzzy_process_batch,
+        resolve_assignments,
+    )
+
+    toks = [f"w{i}" for i in range(100)]
+    base = toks[:]                     # doc 3
+    d1 = toks[:-4] + ["x96", "x97", "x98", "x99"]   # tail changed
+    d2 = ["y0", "y1", "y2", "y3"] + toks[4:]        # head changed
+    batches = [
+        [(1, " ".join(d1)), (2, " ".join(d2)),
+         (4, "completely unrelated tiny text")],
+        [(3, " ".join(base)),
+         (5, "twin text alpha beta gamma delta"),
+         (6, "twin text alpha beta gamma delta")],
+    ]
+    cfg = DedupConfig(jaccard_threshold=0.9)
+    state, out = str(tmp_path / "fz_state"), str(tmp_path / "fz_out")
+    for rows in batches:
+        b = spark.createDataFrame(rows, "doc_id long, text string")
+        fuzzy_process_batch(spark, b, state, out, cfg=cfg)
+
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in resolve_assignments(spark, out, f"{state}/alias").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+
+    # crash-replay of the last batch converges (idempotent appends)
+    b = spark.createDataFrame(batches[1], "doc_id long, text string")
+    fuzzy_process_batch(spark, b, state, out, cfg=cfg)
+    again = {
+        r["doc_id"]: r["cluster_id"]
+        for r in resolve_assignments(spark, out, f"{state}/alias").collect()
+    }
+    assert again == got
+    # state holds each doc exactly once
+    assert spark.read.parquet(f"{state}/docs").count() == 6
+
+
 def test_windowed_dup_rate_plan_is_streaming_safe(spark, tmp_path):
     """The watermarked window agg must be an allowed streaming plan:
     start it on a file stream and drain one batch."""
