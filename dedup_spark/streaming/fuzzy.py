@@ -55,6 +55,13 @@ def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
         return None
 
 
+def _read_table_or_none(spark: SparkSession, table: str) -> DataFrame | None:
+    try:
+        return spark.table(table)
+    except Exception:  # first batch: table not yet created  # noqa: BLE001
+        return None
+
+
 def fuzzy_process_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -64,12 +71,27 @@ def fuzzy_process_batch(
     text_col: str = "text",
     cfg: DedupConfig = DEFAULT_CONFIG,
     max_band_bucket: int = 64,
+    bands_table: str | None = None,
+    n_buckets: int = 16,
 ) -> None:
     """One micro-batch of (id, text) rows: cluster against everything
     seen so far, append assignments + state. Idempotent on replay: the
     assignment append anti-joins already-assigned ids, and state
     appends anti-join already-ingested ids (a crashed-and-replayed
-    batch converges, same contract as the exact tier)."""
+    batch converges, same contract as the exact tier).
+
+    ``bands_table`` switches the band state from a bare parquet dir to
+    a metastore table BUCKETED on the candidate-join key
+    (band_idx, band_hash) — the same scale contract as the exact tier's
+    bucketed content-hash state (incremental.py): the band index is the
+    side that grows with the corpus (rows = docs x num_bands), and
+    bucketing makes the per-batch new↔history candidate join read it
+    shuffle-free — only the small micro-batch side exchanges
+    (plan-asserted in tests/test_streaming.py). The Iceberg analog is a
+    bucket(N, band_hash) partition transform with storage-partitioned
+    joins. The docs/assignment states join on doc_id only for
+    idempotence anti-joins and candidate-restricted verify; the same
+    treatment applies but the band join dominates."""
     bands_dir, docs_dir = f"{state_dir}/bands", f"{state_dir}/docs"
     alias_dir = f"{state_dir}/alias"
 
@@ -97,7 +119,11 @@ def fuzzy_process_batch(
         ["band_idx", "band_hash"],
         max_band_bucket,
     )
-    old_bands = _read_or_none(spark, bands_dir)
+    old_bands = (
+        _read_table_or_none(spark, bands_table)
+        if bands_table is not None
+        else _read_or_none(spark, bands_dir)
+    )
     if old_bands is not None:
         no = (
             banded_new.alias("n")
@@ -181,8 +207,49 @@ def fuzzy_process_batch(
         seen = old_docs.select("doc_id")
         nb = nb.join(seen, on="doc_id", how="left_anti")
         nd = nd.join(seen, on="doc_id", how="left_anti")
-    nb.write.mode("append").parquet(bands_dir)
+    if bands_table is not None:
+        (
+            nb.write.mode("append")
+            .bucketBy(n_buckets, "band_idx", "band_hash")
+            .sortBy("band_idx", "band_hash")
+            .format("parquet")
+            .saveAsTable(bands_table)
+        )
+    else:
+        nb.write.mode("append").parquet(bands_dir)
     nd.write.mode("append").parquet(docs_dir)
+
+
+def compact_aliases(
+    spark: SparkSession, out_dir: str, alias_dir: str
+) -> int:
+    """Fold the alias forest into the assignment table: rewrite every
+    assignment to its resolved root, then truncate the forest. The
+    forest is O(#merges) and read-time resolution costs its pointer
+    depth; a production job runs this periodically (per N batches) so
+    reads go back to being one cheap join. Returns #aliases folded.
+
+    Crash-safety on bare parquet (Iceberg would make the two writes one
+    transaction): the resolved table is materialized eagerly BEFORE
+    either store is touched. A crash after the assignment overwrite but
+    before the forest truncate is benign — resolved cluster ids are
+    forest ROOTS, and a root is never a child in the same forest
+    (pointer-jumping stopped there), so re-applying the stale forest is
+    the identity and re-running the compactor converges."""
+    alias = _read_or_none(spark, alias_dir)
+    n = int(alias.count()) if alias is not None else 0
+    if n == 0:
+        return 0
+    resolved = resolve_assignments(spark, out_dir, alias_dir).localCheckpoint(
+        eager=True
+    )
+    resolved.write.mode("overwrite").parquet(out_dir)
+    # an EMPTY frame built from the schema, not alias.limit(0): writing
+    # a plan that reads alias_dir over alias_dir is a self-overwrite
+    spark.createDataFrame([], alias.schema).write.mode("overwrite").parquet(
+        alias_dir
+    )
+    return n
 
 
 def resolve_assignments(

@@ -296,6 +296,99 @@ def test_fuzzy_incremental_dedup_with_cluster_merge(spark, tmp_path):
     assert spark.read.parquet(f"{state}/docs").count() == 6
 
 
+def test_fuzzy_bucketed_band_state_and_compaction(spark, tmp_path):
+    """(1) The bucketed band-state path (bands_table=...) reproduces the
+    parquet-dir result on the cluster-merge scenario; (2) the plan of
+    the new↔history candidate join has exactly ONE Exchange — the
+    micro-batch side — while the band state (the O(corpus x bands)
+    side) scans bucketed, shuffle-free; (3) compact_aliases folds the
+    merge forest into the assignment table (same resolved labels, empty
+    forest) and ingestion keeps working after compaction."""
+    from pyspark.sql import functions as F
+
+    from dedup_spark.config import DedupConfig
+    from dedup_spark.streaming.fuzzy import (
+        compact_aliases,
+        fuzzy_process_batch,
+        resolve_assignments,
+    )
+
+    toks = [f"w{i}" for i in range(100)]
+    d1 = toks[:-4] + ["x96", "x97", "x98", "x99"]
+    d2 = ["y0", "y1", "y2", "y3"] + toks[4:]
+    cfg = DedupConfig(jaccard_threshold=0.9)
+    tbl = "fz_bands_bkt_t"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    state, out = str(tmp_path / "st"), str(tmp_path / "out")
+    for rows in [
+        [(1, " ".join(d1)), (2, " ".join(d2))],
+        [(3, " ".join(toks))],  # bridges 1 and 2 -> merge
+    ]:
+        fuzzy_process_batch(
+            spark,
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            state, out, cfg=cfg, bands_table=tbl, n_buckets=4,
+        )
+    alias_dir = f"{state}/alias"
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in resolve_assignments(spark, out, alias_dir).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}
+
+    # plan proof: the exact candidate-join shape fuzzy_process_batch
+    # builds — bucketed state side must not exchange
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        probe = spark.createDataFrame(
+            [(9, " ".join(toks[:50]))], "doc_id long, text string"
+        )
+        from dedup_spark.operators.minhash import minhash_signature_udf
+
+        sig = minhash_signature_udf(cfg)
+        banded_new = probe.select(
+            "doc_id", sig(F.col("text")).alias("_bands")
+        ).select(
+            "doc_id", F.posexplode("_bands").alias("band_idx", "band_hash")
+        )
+        joined = banded_new.join(
+            spark.table(tbl), on=["band_idx", "band_hash"], how="inner"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert plan.count("Exchange") == 1
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # compaction: fold the 2->1 alias, same resolved labels, empty forest
+    assert compact_aliases(spark, out, alias_dir) == 1
+    assert spark.read.parquet(alias_dir).count() == 0
+    after = {
+        r["doc_id"]: r["cluster_id"]
+        for r in resolve_assignments(spark, out, alias_dir).collect()
+    }
+    assert after == got
+    assert compact_aliases(spark, out, alias_dir) == 0  # idempotent
+
+    # ingestion continues post-compaction: doc 0 duplicates doc 3's
+    # text with a smaller id -> a NEW merge aliases cluster 1 -> 0
+    fuzzy_process_batch(
+        spark,
+        spark.createDataFrame(
+            [(0, " ".join(toks))], "doc_id long, text string"
+        ),
+        state, out, cfg=cfg, bands_table=tbl, n_buckets=4,
+    )
+    final = {
+        r["doc_id"]: r["cluster_id"]
+        for r in resolve_assignments(spark, out, alias_dir).collect()
+    }
+    assert final == {0: 0, 1: 0, 2: 0, 3: 0}
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_windowed_dup_rate_plan_is_streaming_safe(spark, tmp_path):
     """The watermarked window agg must be an allowed streaming plan:
     start it on a file stream and drain one batch."""
