@@ -1013,7 +1013,9 @@ def q_streaming_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary, so the band-state join (new doc ↔ history) carries the
     gate; the cluster-MERGE path (a later doc bridging two existing
     clusters, resolved via the alias forest) does not arise here and
-    is pytest-proven instead (tests/test_streaming.py).
+    is pytest-proven instead (tests/test_streaming.py). The alias
+    forest is COMPACTED mid-replay (after batch 2) so the compactor's
+    fold-then-truncate rewrite is itself under the gate.
 
     Eager replay like the other streaming queries;
     DEDUP_SPARK_EXPLAIN_ONLY=1 returns a lazy stand-in."""
@@ -1031,6 +1033,7 @@ def q_streaming_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time
 
     from dedup_spark.streaming.fuzzy import (
+        compact_aliases,
         fuzzy_process_batch,
         resolve_assignments,
     )
@@ -1057,6 +1060,10 @@ def q_streaming_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         fuzzy_process_batch(
             spark, batch, state, out, cfg=cfg, max_band_bucket=1 << 20
         )
+        if b == 1:
+            # mid-replay alias compaction under the gate: folding the
+            # forest between batches must not change the final result
+            compact_aliases(spark, out, f"{state}/alias")
     return resolve_assignments(spark, out, f"{state}/alias").select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
