@@ -1232,6 +1232,22 @@ def q_image_decode_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jpeg_roundtrip_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north rule's LOSSY-format PSNR contract through a real lossy
+    codec: every fixture payload is decoded, re-encoded through the
+    from-scratch baseline JPEG codec (multimodal/jpeg.py — numpy DCT,
+    Annex-K quant tables at quality 99, hand-rolled Huffman), decoded
+    back, and the round-trip pixels must land within PSNR >= 40 dB of
+    the originals. ok and psnr_ok are the pinned properties: an
+    undecodable source, a codec failure, or sub-threshold fidelity all
+    flip a row to false and fail the hash compare. Measured worst case
+    for this codec at q=99 is pure noise at ~49 dB — ~9 dB of margin;
+    the smooth/textured fixture payloads sit well above."""
+    from dedup_spark.multimodal.decode import lossy_roundtrip_fidelity
+
+    return lossy_roundtrip_fidelity(_fixture_images(spark))
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -1286,6 +1302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "phash_hamming_pairs": q_phash_hamming_pairs,
         "image_decode_fidelity": q_image_decode_fidelity,
+        "jpeg_roundtrip_fidelity": q_jpeg_roundtrip_fidelity,
     }
 
 
@@ -1472,6 +1489,12 @@ FROM m
 """,
         "image_features": f"""
 SELECT image_id, TRUE AS ok, phash FROM {fixture}
+""",
+        # the lossy round trip must succeed at >= 40 dB for EVERY
+        # payload: both booleans pinned TRUE — codec regression, decode
+        # failure, or fidelity loss all break the hash compare
+        "jpeg_roundtrip_fidelity": f"""
+SELECT image_id, TRUE AS ok, TRUE AS psnr_ok FROM {fixture}
 """,
         "phash_hamming_pairs": f"""
 SELECT a.image_id AS id1, b.image_id AS id2,

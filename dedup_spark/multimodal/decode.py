@@ -3,11 +3,17 @@
 Images, audio, and video are opaque `binary` columns with typed metadata
 (w, h, fmt). All pixel work happens in Arrow-batched pandas UDFs via
 mapInPandas — the Spark-side plumbing (schema, batch shape, partition
-sizing) is real and tested. TWO formats decode for real with zero
-imaging libs: PPM (pure numpy) and PNG (stdlib zlib + numpy unfilter,
-multimodal/png.py — 8-bit grey/RGB/RGBA, all five filters). Remaining
-codec-heavy decodes (jpeg/webp) sit behind a PIL import-try since
-those libs are not in this container.
+sizing) is real and tested. THREE formats decode for real with zero
+imaging libs: PPM (pure numpy), PNG (stdlib zlib + numpy unfilter,
+multimodal/png.py — 8-bit grey/RGB/RGBA, all five filters), and
+baseline JPEG (multimodal/jpeg.py — numpy DCT + hand-rolled Huffman).
+Remaining codec-heavy decodes (webp/video) sit behind a PIL import-try
+since those libs are not in this container.
+
+Round 3 closes the lossy gap too: baseline JPEG encodes AND decodes
+for real via multimodal/jpeg.py (pure numpy DCT + hand-rolled Huffman,
+from the public T.81 spec) — the north rule's "PSNR >= 40 dB for
+lossy" contract is exercised end-to-end by lossy_roundtrip_fidelity.
 
 Batch-shape contract: mapInPandas receives an iterator of pandas
 DataFrames whose size is bounded by spark.sql.execution.arrow.
@@ -46,6 +52,10 @@ def _decode_any(data: bytes, fmt: str) -> np.ndarray | None:
             from dedup_spark.multimodal.png import decode_png
 
             return decode_png(bytes(data))
+        if fmt in ("jpeg", "jpg"):
+            from dedup_spark.multimodal.jpeg import decode_jpeg
+
+            return decode_jpeg(bytes(data))
         if _HAS_PIL:
             import io
 
@@ -235,6 +245,50 @@ def decode_fidelity_pairs(
         ),
     )
     return score_psnr_pairs(pairs, threshold_db=threshold_db)
+
+
+def lossy_roundtrip_fidelity(
+    df: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    quality: int = 99,
+    threshold_db: float = 40.0,
+) -> DataFrame:
+    """The north rule's lossy-format PSNR contract, end-to-end: decode
+    every payload, push the pixels through the REAL baseline JPEG
+    codec (multimodal/jpeg.py — encode then decode), and score the
+    round-trip PSNR against the original pixels. Returns
+    (image_id, ok, psnr_ok): ok=false if the source payload is
+    undecodable, psnr_ok=false if the lossy round trip fails or lands
+    below threshold — either degrades the row instead of killing the
+    job (unreadable-row skip semantics, reference src/hasher.rs:57-60).
+    Only (id, bytes, fmt) ship to the Python stage."""
+    from dedup_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    def _rt(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rid, data, fmt in zip(pdf[id_col], pdf[bytes_col], pdf[fmt_col]):
+                px = _decode_any(data, fmt)
+                if px is None:
+                    rows.append((rid, False, False))
+                    continue
+                try:
+                    back = decode_jpeg(encode_jpeg(px, quality=quality))
+                    mse = float(
+                        ((px.astype(np.float64) - back.astype(np.float64)) ** 2
+                         ).mean()
+                    )
+                    psnr = 999.0 if mse == 0 else 10.0 * np.log10(255.0**2 / mse)
+                    rows.append((rid, True, bool(psnr >= threshold_db)))
+                except ValueError:
+                    rows.append((rid, True, False))
+            yield pd.DataFrame(rows, columns=[id_col, "ok", "psnr_ok"])
+
+    return df.select(id_col, bytes_col, fmt_col).mapInPandas(
+        _rt, schema=f"{id_col} string, ok boolean, psnr_ok boolean"
+    )
 
 
 def frame_sample_stub(df: DataFrame, every_n: int = 30) -> DataFrame:

@@ -246,3 +246,110 @@ def test_decode_fidelity_pairs_groups_and_scores(spark):
     r = got[0]
     assert (r["id1"], r["id2"]) == ("x1", "x2")
     assert r["exact"] and r["captions_equal"] and r["psnr_ok"]
+
+
+def test_jpeg_roundtrip_psnr_and_determinism():
+    """From-scratch baseline JPEG codec (multimodal/jpeg.py): the lossy
+    round trip must clear the 40 dB north-rule gate with margin on the
+    worst case (pure noise), be byte-deterministic, and degrade
+    monotonically with quality."""
+    from dedup_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    cases = {
+        "noise": rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8),
+        "odd_dims": rng.integers(0, 256, size=(17, 23, 3), dtype=np.uint8),
+        "smooth": (
+            np.outer(np.linspace(0, 255, 40), np.ones(56))[..., None]
+            * [1.0, 0.5, 0.25]
+        ).astype(np.uint8),
+        "tiny": np.array([[[200, 10, 99]]], dtype=np.uint8),
+    }
+    for name, px in cases.items():
+        back = decode_jpeg(encode_jpeg(px))
+        assert back.shape == px.shape, name
+        assert _psnr(px, back) >= 42.0, name  # 2 dB above the gate
+    # grayscale input decodes to replicated RGB
+    g = rng.integers(0, 256, size=(20, 20), dtype=np.uint8)
+    back = decode_jpeg(encode_jpeg(g))
+    assert back.shape == (20, 20, 3)
+    assert _psnr(np.stack([g] * 3, axis=-1), back) >= 42.0
+    # deterministic bytes (oracle-parity requirement)
+    assert encode_jpeg(cases["noise"]) == encode_jpeg(cases["noise"])
+    # lossier quality -> lower fidelity, both still decode
+    lo = _psnr(cases["noise"], decode_jpeg(encode_jpeg(cases["noise"], quality=80)))
+    hi = _psnr(cases["noise"], decode_jpeg(encode_jpeg(cases["noise"], quality=99)))
+    assert lo < hi
+
+
+def test_jpeg_decoder_rejects_out_of_scope():
+    """Non-baseline / non-1:1-sampling / corrupt inputs raise ValueError
+    (mapped to the unreadable-row skip by the decode UDFs)."""
+    from dedup_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(3)
+    good = encode_jpeg(rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8))
+    # progressive (SOF2) is out of scope
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    # 4:2:0 subsampling is out of scope: flip the first component's
+    # sampling byte inside SOF0 (offset 11 past the marker)
+    sub = bytearray(good)
+    sub[sub.index(b"\xff\xc0") + 11] = 0x22
+    with pytest.raises(ValueError, match="sampling"):
+        decode_jpeg(bytes(sub))
+    for bad in (b"", b"nope", b"\xff\xd8\xff\xd9", good[:30]):
+        with pytest.raises(ValueError):
+            decode_jpeg(bad)
+
+
+def test_extract_features_decodes_jpeg_rows(spark):
+    """fmt='jpeg' rows decode for real in the feature UDF: the
+    recomputed phash equals the phash of the (deterministically) lossy
+    pixels, and garbage jpeg bytes degrade to ok=false."""
+    from dedup_spark.multimodal.decode import extract_image_features
+    from dedup_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(5)
+    pxs = [rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8) for _ in range(2)]
+    rows = [
+        {"image_id": f"j{i}", "bytes": encode_jpeg(px), "fmt": "jpeg"}
+        for i, px in enumerate(pxs)
+    ]
+    rows.append({"image_id": "broken", "bytes": b"\xff\xd8garbage", "fmt": "jpeg"})
+    df = spark.createDataFrame(
+        pd.DataFrame(rows), schema="image_id string, bytes binary, fmt string"
+    )
+    got = {r["image_id"]: r for r in extract_image_features(df).collect()}
+    for i, px in enumerate(pxs):
+        assert got[f"j{i}"]["ok"]
+        expect = phash64(decode_jpeg(encode_jpeg(px)))
+        assert got[f"j{i}"]["recomputed_phash"] == int(expect)
+    assert not got["broken"]["ok"]
+
+
+def test_lossy_roundtrip_fidelity_operator(spark):
+    """The driver-gated operator: decodable rows round-trip through the
+    real lossy codec at >= 40 dB (ok & psnr_ok); undecodable rows
+    degrade to (ok=false, psnr_ok=false) without killing the job."""
+    from dedup_spark.multimodal.decode import lossy_roundtrip_fidelity
+
+    rng = np.random.default_rng(11)
+    rows = [
+        {
+            "image_id": f"i{i}",
+            "bytes": encode_ppm(
+                rng.integers(0, 256, size=(12, 9, 3), dtype=np.uint8)
+            ),
+            "fmt": "ppm",
+        }
+        for i in range(3)
+    ]
+    rows.append({"image_id": "bad", "bytes": b"P6 garbage", "fmt": "ppm"})
+    df = spark.createDataFrame(
+        pd.DataFrame(rows), schema="image_id string, bytes binary, fmt string"
+    )
+    got = {r["image_id"]: r for r in lossy_roundtrip_fidelity(df).collect()}
+    for i in range(3):
+        assert got[f"i{i}"]["ok"] and got[f"i{i}"]["psnr_ok"]
+    assert not got["bad"]["ok"] and not got["bad"]["psnr_ok"]
