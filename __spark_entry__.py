@@ -1248,6 +1248,31 @@ def q_jpeg_roundtrip_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lossy_roundtrip_fidelity(_fixture_images(spark))
 
 
+def q_crossformat_pixel_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-content dedup across container formats — the case byte
+    dedup can't see: every fixture image is re-encoded under ppm, png,
+    and baseline jpeg (all real codecs), then clustered by
+    sha256(decoded pixels). Lossless variants of byte-identical
+    originals collapse into ONE cluster regardless of format; the
+    deterministic lossy tier forms its own pixel-exact cluster per
+    byte-group (same input bytes → same jpeg → same decoded pixels).
+    The oracle reproduces exactly that in SQL from the stored bytes —
+    a full value-checked cluster assignment, not a pinned boolean.
+    Scale shape: groupBy(pixel_sha) min-agg (map-side combined) + an
+    equi-join back on pixel_sha; duplicate floods hit AQE's skew-join
+    handling like every other content-keyed group in the exact tier."""
+    from dedup_spark.multimodal.decode import pixel_sha, reencode_variants
+
+    variants = reencode_variants(_fixture_images(spark))
+    ph = pixel_sha(variants).localCheckpoint(eager=False)
+    roots = ph.groupBy("pixel_sha").agg(
+        F.min("image_id").alias("cluster_id")
+    )
+    return ph.join(roots, on="pixel_sha", how="left").select(
+        "image_id", "ok", F.coalesce("cluster_id", "image_id").alias("cluster_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -1303,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_hamming_pairs": q_phash_hamming_pairs,
         "image_decode_fidelity": q_image_decode_fidelity,
         "jpeg_roundtrip_fidelity": q_jpeg_roundtrip_fidelity,
+        "crossformat_pixel_dedup": q_crossformat_pixel_dedup,
     }
 
 
@@ -1495,6 +1521,20 @@ SELECT image_id, TRUE AS ok, phash FROM {fixture}
         # failure, or fidelity loss all break the hash compare
         "jpeg_roundtrip_fidelity": f"""
 SELECT image_id, TRUE AS ok, TRUE AS psnr_ok FROM {fixture}
+""",
+        # cross-format pixel clusters from the stored bytes: lossless
+        # variants cluster with their byte-group across formats, the
+        # deterministic lossy tier clusters per byte-group on its own
+        "crossformat_pixel_dedup": f"""
+WITH v AS (
+  SELECT image_id || '#' || s AS vid,
+         CASE WHEN s = 'jpeg' THEN 'J' ELSE 'L' END AS tier,
+         bytes
+  FROM {fixture}, (VALUES ('ppm'), ('png'), ('jpeg')) t(s)
+)
+SELECT vid AS image_id, TRUE AS ok,
+       min(vid) OVER (PARTITION BY tier, bytes) AS cluster_id
+FROM v
 """,
         "phash_hamming_pairs": f"""
 SELECT a.image_id AS id1, b.image_id AS id2,

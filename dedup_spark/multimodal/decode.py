@@ -291,6 +291,72 @@ def lossy_roundtrip_fidelity(
     )
 
 
+def reencode_variants(
+    df: DataFrame,
+    formats: tuple = ("ppm", "png", "jpeg"),
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+) -> DataFrame:
+    """Deterministically re-encode every decodable payload in each of
+    ``formats`` (real codecs: PPM, PNG, baseline JPEG) — one output row
+    per (image, format) with id `<image_id>#<format>`. This synthesizes
+    the classic ingest situation pixel-level dedup exists for: the same
+    image arriving re-encoded under different container formats, where
+    byte-level dedup sees nothing."""
+    from dedup_spark.fixtures.images import encode_ppm
+    from dedup_spark.multimodal.jpeg import encode_jpeg
+    from dedup_spark.multimodal.png import encode_png
+
+    enc = {"ppm": encode_ppm, "png": encode_png, "jpeg": encode_jpeg}
+
+    def _re(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rid, data, fmt in zip(pdf[id_col], pdf[bytes_col], pdf[fmt_col]):
+                px = _decode_any(data, fmt)
+                if px is None:
+                    continue
+                for f in formats:
+                    rows.append((f"{rid}#{f}", enc[f](px), f))
+            yield pd.DataFrame(rows, columns=[id_col, "bytes", "fmt"])
+
+    return df.select(id_col, bytes_col, fmt_col).mapInPandas(
+        _re, schema=f"{id_col} string, bytes binary, fmt string"
+    )
+
+
+def pixel_sha(
+    df: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+) -> DataFrame:
+    """(id, ok, pixel_sha): sha256 over shape + raw decoded pixel
+    buffer — the content identity that survives lossless re-encoding.
+    Undecodable rows get ok=false with a null sha."""
+    import hashlib
+
+    def _sha(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rid, data, fmt in zip(pdf[id_col], pdf[bytes_col], pdf[fmt_col]):
+                px = _decode_any(data, fmt)
+                if px is None:
+                    rows.append((rid, False, None))
+                    continue
+                h = hashlib.sha256()
+                h.update(np.int64(px.shape[0]).tobytes())
+                h.update(np.int64(px.shape[1]).tobytes())
+                h.update(np.ascontiguousarray(px).tobytes())
+                rows.append((rid, True, h.hexdigest()))
+            yield pd.DataFrame(rows, columns=[id_col, "ok", "pixel_sha"])
+
+    return df.select(id_col, bytes_col, fmt_col).mapInPandas(
+        _sha, schema=f"{id_col} string, ok boolean, pixel_sha string"
+    )
+
+
 def frame_sample_stub(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame sampling — STUB. Video codecs are absent from the
     container; the real operator would mapInPandas over (video_id, bytes)

@@ -353,3 +353,37 @@ def test_lossy_roundtrip_fidelity_operator(spark):
     for i in range(3):
         assert got[f"i{i}"]["ok"] and got[f"i{i}"]["psnr_ok"]
     assert not got["bad"]["ok"] and not got["bad"]["psnr_ok"]
+
+
+def test_crossformat_pixel_dedup_clusters(spark):
+    """Pixel-content identity across container formats: byte-identical
+    originals re-encoded as ppm/png share ONE pixel cluster (byte dedup
+    would see three distinct payloads), the deterministic lossy jpeg
+    variants form their own pixel-exact cluster per byte-group, and a
+    near-dup (different pixels) never joins either."""
+    from dedup_spark.multimodal.decode import pixel_sha, reencode_variants
+
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, size=(10, 14, 3), dtype=np.uint8)
+    near = px.copy()
+    near[0, 0, 0] ^= 1
+    rows = [
+        {"image_id": "a", "bytes": encode_ppm(px), "fmt": "ppm"},
+        {"image_id": "b", "bytes": encode_ppm(px), "fmt": "ppm"},  # byte dup
+        {"image_id": "c", "bytes": encode_ppm(near), "fmt": "ppm"},
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows), schema="image_id string, bytes binary, fmt string"
+    )
+    ph = pixel_sha(reencode_variants(df))
+    shas = {r["image_id"]: r["pixel_sha"] for r in ph.collect()}
+    assert all(r["ok"] for r in ph.collect())
+    # lossless variants of a and b all share one pixel identity
+    lossless = {shas[f"{i}#{f}"] for i in "ab" for f in ("ppm", "png")}
+    assert len(lossless) == 1
+    # the lossy tier is deterministic: a and b's jpegs agree...
+    assert shas["a#jpeg"] == shas["b#jpeg"]
+    # ...but differ from the lossless pixels, and the near-dup touches
+    # neither tier's identity
+    assert shas["a#jpeg"] not in lossless
+    assert shas["c#ppm"] not in lossless and shas["c#jpeg"] != shas["a#jpeg"]
