@@ -690,6 +690,28 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_scores_gemm(_emb(spark, sf_dir), topk=TOPK)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup, end to end: exact-cosine edges at
+    the pinned threshold → connected components → canonical keep/drop
+    assignment (keep = the cluster's min vec_id; every other member is
+    the semantic-duplicate drop set). This ships the whole
+    embedding-near-dup pipeline as ONE oracle-gated artifact — the
+    recursive-CTE oracle recomputes cosine, transitive closure, and
+    the keep flag from scratch. At production scale the edge source
+    swaps to the IVF/ANN tiers, whose recall against exactly this edge
+    set is itself oracle-pinned at 1.0 (ivf_recall_report /
+    ann_gaussian_recall), so the exact-GEMM tier verified here is both
+    the oracle and the fallback path."""
+    emb = _emb(spark, sf_dir)
+    edges = cosine_scores_gemm(emb, threshold=COSINE_T).select("id1", "id2")
+    assign = clusters_from_pairs(edges, all_ids=emb, id_col="vec_id")
+    return assign.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        (F.col("cluster_id") == F.col("vec_id")).alias("keep"),
+    )
+
+
 # ----- rows-only queries (no SQL equivalent: approximate / iterative /
 # image-payload over the deterministic fixture corpus) -----
 
@@ -1317,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_fuzzy_dedup": q_streaming_fuzzy_dedup,
         "cosine_pairs": q_cosine_pairs,
         "cosine_topk": q_cosine_topk,
+        "semantic_dedup": q_semantic_dedup,
         "ann_cosine_pairs": q_ann_cosine_pairs,
         "ivf_recall_report": q_ivf_recall_report,
         "ann_gaussian_recall": q_ann_gaussian_recall,
@@ -1859,6 +1882,27 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM p WHERE cosine >= {COSINE_T}) AS n_
         "cosine_pairs": _ORACLE_COSINE_BASE
         + f"""
 SELECT id1, id2, cosine FROM p WHERE cosine >= {COSINE_T}
+""",
+        # full recompute of the semantic-dedup artifact: cosine edges,
+        # recursive transitive closure, min-id labels, keep flag
+        "semantic_dedup": _ORACLE_COSINE_BASE.replace(
+            "WITH v AS", "WITH RECURSIVE v AS", 1
+        )
+        + f""",
+e AS (SELECT id1 AS a, id2 AS b FROM p WHERE cosine >= {COSINE_T}),
+sym AS (
+  SELECT a, b FROM e UNION SELECT b, a FROM e
+  UNION SELECT a, a FROM e UNION SELECT b, b FROM e
+),
+reach(src, dst) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.src, y.b FROM reach r JOIN sym y ON r.dst = y.a
+),
+cl AS (SELECT src AS vec_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+SELECT v.vec_id, coalesce(cl.cluster_id, v.vec_id) AS cluster_id,
+       coalesce(cl.cluster_id, v.vec_id) = v.vec_id AS keep
+FROM v LEFT JOIN cl ON v.vec_id = cl.vec_id
 """,
         "cosine_topk": _ORACLE_COSINE_BASE
         + f""",
