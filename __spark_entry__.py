@@ -645,6 +645,42 @@ def q_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("id").alias("doc_id"), "cluster_id")
 
 
+SPLIT_A, SPLIT_MOD = 2654435761, 1 << 31  # Knuth multiplicative hash
+
+
+def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment — the reason dedup and
+    dataset splitting interact: splitting by row hash leaks near-dups
+    across train/eval, so the split key must be the DEDUP CLUSTER.
+    Pipeline: exact-Jaccard edges (capped inverted index, same tier as
+    cc_clusters) → connected components with singletons self-clustered
+    → deterministic multiplicative-hash bucket of the cluster id →
+    90/5/5 split. Every member of a near-dup cluster lands in the same
+    split by construction. The oracle recomputes the whole chain —
+    pairs, transitive closure, hash, thresholds — in SQL."""
+    docs = _docs(spark, sf_dir)
+    edges = exact_jaccard_pairs(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        threshold=JACCARD_T,
+        min_tokens=K,
+        max_posting=POSTING_CAP,
+    ).select("id1", "id2")
+    assign = clusters_from_pairs(edges, all_ids=docs, id_col="doc_id")
+    b = (
+        F.pmod(F.col("cluster_id").cast("long") * F.lit(SPLIT_A), F.lit(SPLIT_MOD))
+        % 100
+    )
+    return assign.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.when(b < 90, "train").when(b < 95, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+
+
 FLOOD_N, FLOOD_BASE = 200, 1_000_000  # flood-gate corpus augmentation
 
 
@@ -1332,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall_report": q_lsh_recall_report,
         "containment_pairs": q_containment_pairs,
         "cc_clusters": q_cc_clusters,
+        "cluster_safe_split": q_cluster_safe_split,
         "flood_cc_clusters": q_flood_cc_clusters,
         "incremental_dedup": q_incremental_dedup,
         "streaming_watermark_dedup": q_streaming_watermark_dedup,
@@ -1818,6 +1855,37 @@ reach(src, dst) AS (
 )
 SELECT src AS doc_id, min(dst) AS cluster_id
 FROM reach GROUP BY src
+""",
+        # cluster-safe split: same transitive closure, then singletons
+        # self-clustered over ALL documents and the multiplicative-hash
+        # bucket + 90/5/5 thresholds recomputed in SQL
+        "cluster_safe_split": _ORACLE_SHINGLE_PAIRS_CAPPED.replace(
+            "WITH t AS", "WITH RECURSIVE t AS", 1
+        )
+        + f""",
+e AS (
+  SELECT id1 AS a, id2 AS b FROM scored
+  WHERE inter / (n1 + n2 - inter) >= {JACCARD_T}
+),
+sym AS (
+  SELECT a, b FROM e UNION SELECT b, a FROM e
+  UNION SELECT a, a FROM e UNION SELECT b, b FROM e
+),
+reach(src, dst) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.src, y.b FROM reach r JOIN sym y ON r.dst = y.a
+),
+cl AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+asg AS (
+  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN (cluster_id * {SPLIT_A}) % {SPLIT_MOD} % 100 < 90 THEN 'train'
+            WHEN (cluster_id * {SPLIT_A}) % {SPLIT_MOD} % 100 < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM asg
 """,
         # full ANN-tier recompute: axis-aligned sign buckets per table,
         # bucket-equality candidates, rounded-cosine verify — exactly
