@@ -90,3 +90,31 @@ def test_phash_deterministic_and_64bit(w, h, seed):
     p1, p2 = phash64(px), phash64(px)
     assert p1 == p2
     assert -(2**63) <= int(p1) < 2**63
+
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    quality=st.integers(min_value=99, max_value=100),
+)
+@settings(max_examples=20, deadline=None)
+def test_jpeg_roundtrip_property(w, h, seed, quality):
+    """Any dims (incl. non-multiples of 8), any content, at the SHIPPED
+    quality (99, the operator default) or above: the baseline JPEG
+    round trip preserves shape, clears the 40 dB north-rule gate, and
+    is byte-deterministic. (Below 98 a tiny pure-noise block can dip
+    under the gate — measured 34 dB at q=97 on a 2x2 — which is why
+    the default is pinned at 99: worst tiny-noise case there is
+    ~46 dB over 200 seeds.)"""
+    from dedup_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    data = encode_jpeg(px, quality=quality)
+    assert data == encode_jpeg(px, quality=quality)
+    back = decode_jpeg(data)
+    assert back.shape == px.shape
+    mse = float(((px.astype(np.float64) - back.astype(np.float64)) ** 2).mean())
+    psnr = 999.0 if mse == 0 else 10.0 * np.log10(255.0**2 / mse)
+    assert psnr >= 40.0
