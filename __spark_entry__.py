@@ -1331,6 +1331,57 @@ def q_crossformat_pixel_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star 3-stage engine as ONE artifact over the
+    input_hint image+caption corpus (BASELINE.json north_star):
+
+      stage 1  exact byte pre-group — the reference's size → prefix-hash
+               → full-hash cascade (operators/exact.py, src/main.rs
+               cascade) emits byte-identical edges first. At web scale
+               most duplication is byte-exact, so the heaviest skew
+               dies before any expensive signature work.
+      stage 2  near-dup candidates from two independent signals, each
+               banded then verified:
+               (a) pHash Hamming pairs over the image payload
+                   (pigeonhole-exact bands, radius 3);
+               (b) MinHash-LSH over the shingled captions at the
+                   band-safe j>=0.9 threshold (guard headroom so the
+                   oracle compare stays pair-set-exact — see
+                   q_minhash_lsh_pairs).
+      stage 3  connected components over the union of all edges →
+               full assignment table (singletons self-clustered) with
+               the reference's shortest-id canonical mark
+               (src/actions.rs:21-26).
+
+    The oracle recomputes everything from the same parquet bytes in
+    SQL: byte-equality edges, bit_count(xor) Hamming edges, exact
+    shingle-Jaccard caption edges, recursive-CTE transitive closure,
+    and the canonical argmin — full value-checked cluster parity.
+
+    Scale shape: each branch prunes to its own columns (bytes never
+    reaches the signature branches — no localCheckpoint of the payload
+    on purpose), edges are O(duplicate pairs), and CC is the O(log n)
+    star loop shared with every other tier."""
+    imgs = _fixture_images(spark)
+    exact = exact_duplicate_clusters(imgs)  # only groups with n >= 2
+    exact_edges = exact.filter(
+        F.col("image_id") != F.col("cluster_id")
+    ).select(F.col("cluster_id").alias("id1"), F.col("image_id").alias("id2"))
+    phash_edges = phash_near_duplicates(imgs, max_band_bucket=4096).select(
+        "id1", "id2"
+    )
+    caption_edges = minhash_near_duplicates(
+        imgs,
+        id_col="image_id",
+        text_col="caption",
+        cfg=DedupConfig(jaccard_threshold=MINHASH_T),
+        max_band_bucket=1 << 20,
+    ).select("id1", "id2")
+    edges = exact_edges.unionByName(phash_edges).unionByName(caption_edges)
+    asg = clusters_from_pairs(edges, all_ids=imgs, id_col="image_id")
+    return with_canonical(asg).select("image_id", "cluster_id", "is_canonical")
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -1389,6 +1440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode_fidelity": q_image_decode_fidelity,
         "jpeg_roundtrip_fidelity": q_jpeg_roundtrip_fidelity,
         "crossformat_pixel_dedup": q_crossformat_pixel_dedup,
+        "multimodal_dedup_pipeline": q_multimodal_dedup_pipeline,
     }
 
 
@@ -1601,6 +1653,54 @@ SELECT a.image_id AS id1, b.image_id AS id2,
        CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
 FROM {fixture} a JOIN {fixture} b ON a.image_id < b.image_id
 WHERE bit_count(xor(a.phash, b.phash)) <= 3
+""",
+        # the full 3-stage north-star pipeline recomputed from scratch:
+        # caption shingle-Jaccard edges (band-safe j>=0.9) + phash
+        # Hamming edges (radius 3) + byte-equality edges, transitive
+        # closure via recursive CTE, canonical = shortest-id argmin
+        "multimodal_dedup_pipeline": _oracle_shingle_pairs(
+            None,
+            f"(SELECT image_id AS doc_id, caption AS text FROM {fixture}) src",
+        ).replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+        + f""",
+ce AS (
+  SELECT id1 AS a, id2 AS b FROM scored
+  WHERE inter / (n1 + n2 - inter) >= {MINHASH_T}
+),
+he AS (
+  SELECT a.image_id AS a, b.image_id AS b
+  FROM {fixture} a JOIN {fixture} b ON a.image_id < b.image_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 3
+),
+be AS (
+  SELECT a.image_id AS a, b.image_id AS b
+  FROM {fixture} a JOIN {fixture} b
+    ON a.bytes = b.bytes AND a.image_id < b.image_id
+  WHERE octet_length(a.bytes) >= 1
+),
+e AS (
+  SELECT a, b FROM ce UNION SELECT a, b FROM he UNION SELECT a, b FROM be
+),
+sym AS (
+  SELECT a, b FROM e UNION SELECT b, a FROM e
+  UNION SELECT a, a FROM e UNION SELECT b, b FROM e
+),
+reach(src_id, dst) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.src_id, y.b FROM reach r JOIN sym y ON r.dst = y.a
+),
+cl AS (
+  SELECT src_id AS image_id, min(dst) AS cluster_id FROM reach GROUP BY src_id
+),
+asg AS (
+  SELECT i.image_id, coalesce(cl.cluster_id, i.image_id) AS cluster_id
+  FROM {fixture} i LEFT JOIN cl ON i.image_id = cl.image_id
+)
+SELECT image_id, cluster_id,
+       row_number() OVER (PARTITION BY cluster_id
+            ORDER BY length(image_id), image_id) = 1 AS is_canonical
+FROM asg
 """,
         # exact/captions_equal recomputed from the same bytes in SQL;
         # psnr_ok = TRUE is the pinned decoded-pixel property (PSNR >=

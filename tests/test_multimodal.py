@@ -387,3 +387,55 @@ def test_crossformat_pixel_dedup_clusters(spark):
     # neither tier's identity
     assert shas["a#jpeg"] not in lossless
     assert shas["c#ppm"] not in lossless and shas["c#jpeg"] != shas["a#jpeg"]
+
+
+def test_multimodal_pipeline_fuses_three_edge_signals(spark):
+    """The fused north-star cascade (q_multimodal_dedup_pipeline
+    composition): a byte-exact edge, a phash Hamming edge, and a
+    caption MinHash edge must CHAIN into one transitive cluster, with
+    the shortest-id canonical and singletons self-clustered."""
+    from dedup_spark.config import DedupConfig
+    from dedup_spark.operators.canonical import with_canonical
+    from dedup_spark.operators.components import clusters_from_pairs
+    from dedup_spark.operators.exact import exact_duplicate_clusters
+    from dedup_spark.operators.minhash import minhash_near_duplicates
+    from dedup_spark.operators.simhash import phash_near_duplicates
+
+    far1 = int(np.int64(-1))  # 0xFFFF... as signed
+    far2 = 0x0F0F0F0F0F0F0F0F
+    rows = [
+        # a == b byte-identical (exact edge)
+        ("a", b"\x01payload-one", 4, 4, "ppm", "alpha beta gamma delta one", 0),
+        ("b", b"\x01payload-one", 4, 4, "ppm", "epsilon zeta eta theta two", 0),
+        # c: hamming(phash_c, phash_a) = 2 <= radius 3 (phash edge)
+        ("c", b"\x02payload-two", 4, 4, "ppm", "red fox jumps over lazy dog", 3),
+        # d: caption identical to c (jaccard 1 >= 0.9), phash far away
+        ("d", b"\x03payload-thr", 4, 4, "ppm", "red fox jumps over lazy dog", far1),
+        # e: nothing in common with anyone
+        ("e", b"\x04payload-fou", 4, 4, "ppm", "totally different caption words here", far2),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+    )
+    exact = exact_duplicate_clusters(df)
+    exact_edges = exact.filter(F.col("image_id") != F.col("cluster_id")).select(
+        F.col("cluster_id").alias("id1"), F.col("image_id").alias("id2")
+    )
+    phash_edges = phash_near_duplicates(df, max_band_bucket=4096).select("id1", "id2")
+    caption_edges = minhash_near_duplicates(
+        df, id_col="image_id", text_col="caption",
+        cfg=DedupConfig(jaccard_threshold=0.9), max_band_bucket=1 << 20,
+    ).select("id1", "id2")
+    edges = exact_edges.unionByName(phash_edges).unionByName(caption_edges)
+    out = with_canonical(
+        clusters_from_pairs(edges, all_ids=df, id_col="image_id")
+    ).select("image_id", "cluster_id", "is_canonical")
+    got = {r["image_id"]: (r["cluster_id"], r["is_canonical"]) for r in out.collect()}
+    # one transitive cluster a-b (bytes) -c (phash) -d (caption), rooted at "a"
+    assert got == {
+        "a": ("a", True),
+        "b": ("a", False),
+        "c": ("a", False),
+        "d": ("a", False),
+        "e": ("e", True),
+    }
