@@ -1358,28 +1358,23 @@ def q_multimodal_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle-Jaccard caption edges, recursive-CTE transitive closure,
     and the canonical argmin — full value-checked cluster parity.
 
-    Scale shape: each branch prunes to its own columns (bytes never
-    reaches the signature branches — no localCheckpoint of the payload
-    on purpose), edges are O(duplicate pairs), and CC is the O(log n)
-    star loop shared with every other tier."""
-    imgs = _fixture_images(spark)
-    exact = exact_duplicate_clusters(imgs)  # only groups with n >= 2
-    exact_edges = exact.filter(
-        F.col("image_id") != F.col("cluster_id")
-    ).select(F.col("cluster_id").alias("id1"), F.col("image_id").alias("id2"))
-    phash_edges = phash_near_duplicates(imgs, max_band_bucket=4096).select(
-        "id1", "id2"
-    )
-    caption_edges = minhash_near_duplicates(
-        imgs,
-        id_col="image_id",
-        text_col="caption",
+    Scale shape: each tier prunes to its own columns (bytes never
+    reaches the signature tiers), edges are O(duplicate pairs), and CC
+    is the O(log n) star loop shared with every other tier.
+
+    This IS the shipped composition (dedup_spark/pipeline.py — the same
+    function bench.py and jobs/dedup_job.py run), with pair-set-exact
+    guard headroom and the band-safe caption threshold so the oracle
+    compare is corpus-independent."""
+    from dedup_spark.pipeline import dedup_pipeline
+
+    out = dedup_pipeline(
+        _fixture_images(spark),
         cfg=DedupConfig(jaccard_threshold=MINHASH_T),
-        max_band_bucket=1 << 20,
-    ).select("id1", "id2")
-    edges = exact_edges.unionByName(phash_edges).unionByName(caption_edges)
-    asg = clusters_from_pairs(edges, all_ids=imgs, id_col="image_id")
-    return with_canonical(asg).select("image_id", "cluster_id", "is_canonical")
+        caption_band_bucket=1 << 20,
+        phash_band_bucket=4096,
+    )
+    return out.select("image_id", "cluster_id", "is_canonical")
 
 
 # ---------------------------------------------------------------------------

@@ -164,6 +164,17 @@ def run_image_pipeline(spark, path: str):
     return dedup_pipeline(df, caption_col=None)
 
 
+def run_multimodal_pipeline(spark, path: str):
+    """The FUSED north-star job: all three tiers — exact byte cascade,
+    caption MinHash-LSH, phash Hamming — union of verified edges → CC →
+    canonical, at the production config and flood-safe guards. One
+    number for 'what does the whole engine cost per image'."""
+    from dedup_spark.pipeline import dedup_pipeline
+
+    df = spark.read.parquet(path)
+    return dedup_pipeline(df)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default=None)
@@ -178,16 +189,23 @@ def main() -> None:
     sf = _sf_value(SF_DIR)
     n_images = args.image_rows or max(400, int(400_000 * max(sf, 0.001)))
 
-    names = HEADLINE + ["image_pipeline"]
+    names = HEADLINE + ["image_pipeline", "multimodal_pipeline"]
     if args.only:
         names = args.only.split(",")
 
     qs = entrymod.queries()
-    img_path = image_corpus_path(spark, n_images) if "image_pipeline" in names else None
+    _needs_corpus = {"image_pipeline", "multimodal_pipeline"}
+    img_path = (
+        image_corpus_path(spark, n_images)
+        if _needs_corpus & set(names)
+        else None
+    )
 
     def build(name):
         if name == "image_pipeline":
             return run_image_pipeline(spark, img_path)
+        if name == "multimodal_pipeline":
+            return run_multimodal_pipeline(spark, img_path)
         return qs[name](spark, SF_DIR)
 
     # warmup pass (JIT/code-cache/page-cache), then a timed pass —

@@ -36,6 +36,8 @@ def dedup_pipeline(
     cfg: DedupConfig = DEFAULT_CONFIG,
     metrics: StageMetrics | None = None,
     include_singletons: bool = True,
+    caption_band_bucket: int | None = None,
+    phash_band_bucket: int | None = None,
 ) -> DataFrame:
     """input table → (id, cluster_id, is_canonical) assignment.
 
@@ -43,6 +45,13 @@ def dedup_pipeline(
     column as None. Edges never carry the payload; the union feeds a
     single CC pass so transitive chains across tiers (A exact-dup B,
     B caption-near C) land in one cluster.
+
+    ``caption_band_bucket`` / ``phash_band_bucket`` forward to the
+    tiers' star-guard thresholds (None keeps the flood-safe pipeline
+    defaults). Pair-set-exact callers — the driver oracle compares the
+    fused cluster table against an exact SQL recompute — pass large
+    headroom so a duplicate flood cannot star-collapse a band bucket
+    and change the pair set (cluster-level recall survives either way).
     """
     metrics = metrics or StageMetrics("dedup_pipeline")
     edge_parts = []
@@ -62,15 +71,25 @@ def dedup_pipeline(
 
     if caption_col is not None and caption_col in df.columns:
         with metrics.stage("caption_minhash_lsh"):
+            kw = (
+                {}
+                if caption_band_bucket is None
+                else {"max_band_bucket": caption_band_bucket}
+            )
             near_txt = minhash_near_duplicates(
-                df, id_col=id_col, text_col=caption_col, cfg=cfg
+                df, id_col=id_col, text_col=caption_col, cfg=cfg, **kw
             )
             edge_parts.append(near_txt.select("id1", "id2"))
 
     if phash_col is not None and phash_col in df.columns:
         with metrics.stage("phash_hamming"):
+            kw = (
+                {}
+                if phash_band_bucket is None
+                else {"max_band_bucket": phash_band_bucket}
+            )
             near_img = phash_near_duplicates(
-                df, id_col=id_col, hash_col=phash_col, cfg=cfg
+                df, id_col=id_col, hash_col=phash_col, cfg=cfg, **kw
             )
             edge_parts.append(near_img.select("id1", "id2"))
 

@@ -395,11 +395,7 @@ def test_multimodal_pipeline_fuses_three_edge_signals(spark):
     caption MinHash edge must CHAIN into one transitive cluster, with
     the shortest-id canonical and singletons self-clustered."""
     from dedup_spark.config import DedupConfig
-    from dedup_spark.operators.canonical import with_canonical
-    from dedup_spark.operators.components import clusters_from_pairs
-    from dedup_spark.operators.exact import exact_duplicate_clusters
-    from dedup_spark.operators.minhash import minhash_near_duplicates
-    from dedup_spark.operators.simhash import phash_near_duplicates
+    from dedup_spark.pipeline import dedup_pipeline
 
     far1 = int(np.int64(-1))  # 0xFFFF... as signed
     far2 = 0x0F0F0F0F0F0F0F0F
@@ -417,18 +413,11 @@ def test_multimodal_pipeline_fuses_three_edge_signals(spark):
     df = spark.createDataFrame(
         rows, "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
     )
-    exact = exact_duplicate_clusters(df)
-    exact_edges = exact.filter(F.col("image_id") != F.col("cluster_id")).select(
-        F.col("cluster_id").alias("id1"), F.col("image_id").alias("id2")
-    )
-    phash_edges = phash_near_duplicates(df, max_band_bucket=4096).select("id1", "id2")
-    caption_edges = minhash_near_duplicates(
-        df, id_col="image_id", text_col="caption",
-        cfg=DedupConfig(jaccard_threshold=0.9), max_band_bucket=1 << 20,
-    ).select("id1", "id2")
-    edges = exact_edges.unionByName(phash_edges).unionByName(caption_edges)
-    out = with_canonical(
-        clusters_from_pairs(edges, all_ids=df, id_col="image_id")
+    out = dedup_pipeline(
+        df,
+        cfg=DedupConfig(jaccard_threshold=0.9),
+        caption_band_bucket=1 << 20,
+        phash_band_bucket=4096,
     ).select("image_id", "cluster_id", "is_canonical")
     got = {r["image_id"]: (r["cluster_id"], r["is_canonical"]) for r in out.collect()}
     # one transitive cluster a-b (bytes) -c (phash) -d (caption), rooted at "a"
