@@ -681,6 +681,48 @@ def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked dedup selection — the training-data variant of
+    canonical marking: within each near-dup cluster KEEP the highest-
+    quality member (C4/Gopher-style composite score, functions/text.py
+    quality_score), not the shortest id. Pipeline: exact-Jaccard edges
+    (capped inverted index, same tier as cc_clusters) → connected
+    components with singletons self-clustered → per-cluster argmax
+    over (quality, min doc_id tie-break) via min_by aggregation +
+    broadcast join-back (no window: a window over cluster_id would
+    shuffle+sort every row; the aggregate combines map-side — same
+    scale argument as operators/canonical.py). The oracle recomputes
+    pairs, transitive closure, the quality score, and the argmax in
+    SQL."""
+    docs = _docs(spark, sf_dir)
+    edges = exact_jaccard_pairs(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        threshold=JACCARD_T,
+        min_tokens=K,
+        max_posting=POSTING_CAP,
+    ).select("id1", "id2")
+    assign = clusters_from_pairs(edges, all_ids=docs, id_col="doc_id")
+    scored = docs.select(
+        "doc_id", TX.quality_score(F.col("text")).alias("quality")
+    )
+    j = assign.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    ).join(scored, on="doc_id")
+    best = j.groupBy("cluster_id").agg(
+        F.min_by(
+            "doc_id", F.struct((-F.col("quality")).alias("nq"), F.col("doc_id"))
+        ).alias("_keep_id")
+    )
+    return (
+        j.join(F.broadcast(best), on="cluster_id")
+        .withColumn("keep", F.col("doc_id") == F.col("_keep_id"))
+        .select("doc_id", "cluster_id", "quality", "keep")
+    )
+
+
 FLOOD_N, FLOOD_BASE = 200, 1_000_000  # flood-gate corpus augmentation
 
 
@@ -1415,6 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "cc_clusters": q_cc_clusters,
         "cluster_safe_split": q_cluster_safe_split,
+        "quality_dedup_keep": q_quality_dedup_keep,
         "flood_cc_clusters": q_flood_cc_clusters,
         "incremental_dedup": q_incremental_dedup,
         "streaming_watermark_dedup": q_streaming_watermark_dedup,
@@ -1467,6 +1510,15 @@ def oracle_sql() -> dict[str, str]:
     mult_values = ", ".join(
         f"({j}, {mults[j]}::UBIGINT)" for j in range(SUBSTR_K)
     )
+    # composite quality score — one expression string shared by
+    # text_stats and quality_dedup_keep (byte-identical semantics)
+    quality_expr = f"""round((least(({toks_nonempty}) / 20.0, 1.0)
+              + CASE WHEN length(text) = 0 THEN 0.0 ELSE {alpha} / length(text) END
+              + least((CASE WHEN {toks_nonempty} = 0 THEN 0.0
+                       ELSE ({stop_hits}) / ({toks_nonempty}) END) * 4, 1.0)
+              + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+                         ELSE {punct} / length(text) END) * 5)) / 4.0, 6)"""
+
     lang_cases = []
     langs = sorted(TX.LANG_MARKERS)  # de en es fr zh
     for i, lang in enumerate(langs):
@@ -1558,12 +1610,7 @@ SELECT doc_id,
        round(CASE WHEN length(text) = 0 THEN 0.0 ELSE {punct} / length(text) END, 6) AS punct_r,
        round(CASE WHEN {toks_nonempty} = 0 THEN 0.0
              ELSE ({stop_hits}) / ({toks_nonempty}) END, 6) AS stop_r,
-       round((least(({toks_nonempty}) / 20.0, 1.0)
-              + CASE WHEN length(text) = 0 THEN 0.0 ELSE {alpha} / length(text) END
-              + least((CASE WHEN {toks_nonempty} = 0 THEN 0.0
-                       ELSE ({stop_hits}) / ({toks_nonempty}) END) * 4, 1.0)
-              + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
-                         ELSE {punct} / length(text) END) * 5)) / 4.0, 6) AS quality
+       {quality_expr} AS quality
 FROM documents
 """,
         "token_counts": f"""
@@ -1980,6 +2027,37 @@ SELECT doc_id, cluster_id,
        CASE WHEN (cluster_id * {SPLIT_A}) % {SPLIT_MOD} % 100 < 90 THEN 'train'
             WHEN (cluster_id * {SPLIT_A}) % {SPLIT_MOD} % 100 < 95 THEN 'val'
             ELSE 'test' END AS split
+FROM asg
+""",
+        # quality-ranked keep: same transitive closure, then per-cluster
+        # argmax over (quality DESC, doc_id) with the quality score
+        # recomputed by the shared expression (text_stats parity)
+        "quality_dedup_keep": _ORACLE_SHINGLE_PAIRS_CAPPED.replace(
+            "WITH t AS", "WITH RECURSIVE t AS", 1
+        )
+        + f""",
+e AS (
+  SELECT id1 AS a, id2 AS b FROM scored
+  WHERE inter / (n1 + n2 - inter) >= {JACCARD_T}
+),
+sym AS (
+  SELECT a, b FROM e UNION SELECT b, a FROM e
+  UNION SELECT a, a FROM e UNION SELECT b, b FROM e
+),
+reach(src, dst) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.src, y.b FROM reach r JOIN sym y ON r.dst = y.a
+),
+cl AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+asg AS (
+  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+         {quality_expr} AS quality
+  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+)
+SELECT doc_id, cluster_id, quality,
+       row_number() OVER (PARTITION BY cluster_id
+            ORDER BY quality DESC, doc_id) = 1 AS keep
 FROM asg
 """,
         # full ANN-tier recompute: axis-aligned sign buckets per table,

@@ -237,3 +237,28 @@ def test_jaccard_threshold_boundary(spark):
     rows = out2.collect()
     assert len(rows) == 1
     assert abs(rows[0]["jaccard"] - 8 / 12) < 1e-9
+
+
+def test_quality_dedup_keep_selects_best_not_shortest(spark):
+    """quality_dedup_keep: exactly one keeper per cluster, and it is
+    the max-quality member (min doc_id on ties) — NOT the shortest-id
+    canonical. Run on the sf0.001 corpus through the driver query."""
+    import sys
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as entrymod
+
+    out = entrymod.queries()["quality_dedup_keep"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert sum(len(v) for v in by_cluster.values()) == len(out)
+    multi = [v for v in by_cluster.values() if len(v) > 1]
+    assert multi, "corpus must contain at least one non-trivial cluster"
+    for members in by_cluster.values():
+        keepers = [r for r in members if r["keep"]]
+        assert len(keepers) == 1
+        best = min(members, key=lambda r: (-r["quality"], r["doc_id"]))
+        assert keepers[0]["doc_id"] == best["doc_id"]

@@ -34,9 +34,11 @@ from concurrent.futures import ThreadPoolExecutor
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_level(ncpus: int, rows: int, pin: bool = True) -> dict:
+def run_level(
+    ncpus: int, rows: int, pin: bool = True, job: str = "image_pipeline"
+) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(ncpus))
-    cmd = [sys.executable, "bench.py", "--only", "image_pipeline",
+    cmd = [sys.executable, "bench.py", "--only", job,
            "--image-rows", str(rows)]
     if pin:
         cmd = ["taskset", "-c", f"0-{ncpus - 1}", *cmd]
@@ -77,16 +79,21 @@ def main() -> None:
     ap.add_argument("--rows", type=int, default=960_000)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--n", type=int, default=2, help="small size N (large is 4N)")
+    ap.add_argument(
+        "--job", default="image_pipeline",
+        help="bench.py query to scale (e.g. multimodal_pipeline)",
+    )
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "scaling.json"))
     args = ap.parse_args()
     small, large = args.n, 4 * args.n
 
     sweep_before = host_cpu_sweep()
-    run_level(32, args.rows, pin=False)  # corpus build + cache warm, untimed
+    # corpus build + cache warm, untimed
+    run_level(32, args.rows, pin=False, job=args.job)
     runs: dict[int, list[dict]] = {small: [], large: []}
     for _ in range(args.reps):  # interleave to cancel host drift
-        runs[small].append(run_level(small, args.rows))
-        runs[large].append(run_level(large, args.rows))
+        runs[small].append(run_level(small, args.rows, job=args.job))
+        runs[large].append(run_level(large, args.rows, job=args.job))
     sweep_after = host_cpu_sweep()
 
     def med(level: int, key: str) -> float:
@@ -95,6 +102,7 @@ def main() -> None:
     wall_s, wall_l = med(small, "value"), med(large, "value")
     cpu_s, cpu_l = med(small, "cpu_sec_per_kimg"), med(large, "cpu_sec_per_kimg")
     result = {
+        "job": args.job,
         "rows": args.rows,
         "pinned_cpus": {"N": small, "4N": large},
         "wall_sec_median": {f"N={small}": wall_s, f"4N={large}": wall_l},
