@@ -871,6 +871,33 @@ def q_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _embedding_recall_report(exact, ivf)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k similarity SEARCH (not pair mining) under the hard
+    signal. At the FULL-probe gate config (n_probe = all IVF_K cells)
+    the IVF path must reproduce the brute GEMM top-k row-for-row, so
+    the whole index path — deterministic quantizer, single-cell
+    indexing, cell join, cosine scoring, (rounded cosine desc,
+    neighbor_id) ranking — is pinned against the SAME SQL oracle as
+    cosine_topk; any drift in any stage is a hash mismatch.
+
+    Production probe depth is the recall lever and is measured, not
+    gated: on this corpus's near-isotropic synthetic embeddings a
+    GLOBAL top-5 is inherently not cell-localized (recall@5 ≈ 0.50 at
+    n_probe=3 — tests/test_embeddings.py pins the trade-off curve),
+    in contrast to the thresholded pair tier (cos >= 0.45) where
+    n_probe=3 already reaches recall 1.0 (ivf_recall_report). Real
+    clustered embedding spaces sit between the two."""
+    from dedup_spark.operators.embeddings import ivf_topk, kmeans_centroids
+
+    # double promotion BEFORE the JVM dot/norm fold — float32 products
+    # would diverge from the all-double oracle in the 6th decimal
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = kmeans_centroids(emb, k=IVF_K, iters=IVF_ITERS)
+    return ivf_topk(emb, cents, k=TOPK, n_probe=IVF_K)
+
+
 def q_ann_gaussian_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The seeded-gaussian hyperplane family (the production ANN
     alternative to the SQL-reproducible axis family) under the driver
@@ -1468,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "ann_cosine_pairs": q_ann_cosine_pairs,
         "ivf_recall_report": q_ivf_recall_report,
+        "ivf_topk": q_ivf_topk,
         "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
         "substring_containment": q_substring_containment,
@@ -2146,6 +2174,21 @@ SELECT v.vec_id, coalesce(cl.cluster_id, v.vec_id) AS cluster_id,
 FROM v LEFT JOIN cl ON v.vec_id = cl.vec_id
 """,
         "cosine_topk": _ORACLE_COSINE_BASE
+        + f""",
+sym AS (
+  SELECT id1 AS query_id, id2 AS neighbor_id, cosine FROM p
+  UNION ALL
+  SELECT id2 AS query_id, id1 AS neighbor_id, cosine FROM p
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+FROM sym
+QUALIFY rnk <= {TOPK}
+""",
+        # full-probe IVF top-k must equal the brute top-k row-for-row —
+        # same oracle text as cosine_topk on purpose (see q_ivf_topk)
+        "ivf_topk": _ORACLE_COSINE_BASE
         + f""",
 sym AS (
   SELECT id1 AS query_id, id2 AS neighbor_id, cosine FROM p

@@ -537,3 +537,100 @@ def ann_verified_pairs(
         .filter(F.round(F.col("cosine"), 6) >= cfg.cosine_threshold)
         .select("id1", "id2", "cosine")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF top-k neighbor search — the sub-quadratic alternative to
+    ``cosine_scores_gemm(topk=...)``.
+
+    Every corpus row is indexed under its single nearest coarse cell;
+    every query (self-search: each corpus row) probes its ``n_probe``
+    nearest cells; candidates are the indexed rows of the probed cells,
+    scored by exact cosine and ranked per query by (rounded cosine
+    desc, neighbor_id) — the identical contract to the brute tier, so
+    at a probe depth with full recall the two outputs are row-for-row
+    equal (the driver gate runs exactly that config; production probe
+    depth trades recall for candidates, measured in tests).
+
+    Scale shape: the candidate join shuffles on ``cell`` (shuffle
+    volume is corpus + n_probe×corpus slim rows, never n² pairs);
+    per-query candidates are bounded by the probed cell sizes; the
+    final window partitions by query_id over those candidates only.
+    Zero-norm vectors are dropped on both the query and index side —
+    the same contract as the GEMM tier (undefined cosine never pairs).
+    """
+    sc = corpus.sparkSession.sparkContext
+    b_c = sc.broadcast(np.asarray(centroids, dtype=np.float64))
+    npb = int(n_probe)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _cells(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        mat = mat / nrm
+        sims = mat @ b_c.value.T
+        top = np.argsort(-sims, axis=1)[:, :npb]
+        return pd.Series([row.tolist() for row in top])
+
+    base = (
+        corpus.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            _norm(F.col(vec_col)).alias("_n"),
+        )
+        .filter(F.col("_n") > 0)
+        .withColumn("_cells", _cells(F.col("_v")))
+        # consumed by the index AND the query side — without this the
+        # cell-assignment UDF re-executes per consumer (round-3 rule)
+        .localCheckpoint(eager=False)
+    )
+    index = base.select(
+        F.col("_id").alias("neighbor_id"),
+        F.col("_v").alias("_cv"),
+        F.col("_n").alias("_cn"),
+        F.element_at("_cells", 1).alias("cell"),
+    )
+    qry = base.select(
+        F.col("_id").alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_n").alias("_qn"),
+        F.explode("_cells").alias("cell"),
+    )
+    # each neighbor is indexed under exactly ONE cell and a query's
+    # probed cells are distinct, so (query, neighbor) appears at most
+    # once — no dedup pass needed
+    scored = (
+        qry.join(index, on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            # np.round parity, bit for bit: the GEMM tier (and the
+            # DuckDB oracle) round via scale→rint→unscale on the
+            # double, which differs from exact-decimal F.round on
+            # ~0.4% of boundary-adjacent values. Math.rint == np.rint
+            # (half-even), so this is the same three float ops.
+            F.rint(
+                _dot(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qn") * F.col("_cn"))
+                * F.lit(float(10.0**round_to))
+            )
+            / F.lit(float(10.0**round_to)),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

@@ -186,3 +186,33 @@ def test_ann_verified_pairs_are_sound_with_good_recall(spark, vecs):
     assert exact, "fixture produced no close pairs"
     recall = len(got) / len(exact)
     assert recall >= 0.8, f"LSH recall {recall:.2f}"
+
+
+def test_ivf_topk_full_probe_equals_brute_and_clustered_recall(spark, vecs):
+    """ivf_topk: at full probe depth the IVF search is row-for-row the
+    brute GEMM top-k (the driver-gate config); on a CLUSTERED corpus a
+    single probed cell already recovers nearly all of the global top-5
+    (the real-world IVF value proposition — near neighbors share a
+    coarse cell)."""
+    from dedup_spark.operators.embeddings import ivf_topk, kmeans_centroids
+
+    emb = vecs.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    brute = {
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rnk"])
+        for r in cosine_scores_gemm(emb, topk=5).collect()
+    }
+    cents = kmeans_centroids(emb, k=5, iters=5)
+    full = {
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rnk"])
+        for r in ivf_topk(emb, cents, k=5, n_probe=5).collect()
+    }
+    assert full == brute
+    bpairs = {(q, n) for q, n, _, _ in brute}
+    one = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, cents, k=5, n_probe=1).collect()
+    }
+    recall = len(one & bpairs) / len(bpairs)
+    assert recall >= 0.9, recall
