@@ -42,6 +42,7 @@ HEADLINE = [
     "minhash_lsh_pairs_prod",
     "containment_pairs",
     "cc_clusters",
+    "quality_dedup_keep",
     "cosine_pairs",
     "cosine_topk",
     "ann_cosine_pairs",
