@@ -961,6 +961,23 @@ def q_substring_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_caption_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north rule's 'suffix-array substring dedup over captions
+    catches containment duplicates LSH misses' sentence, executed: the
+    min-gram anchor index (operators/suffix.py — same provable-recall
+    tier as substring_containment) over the image corpus CAPTIONS.
+    id1 = contained caption (>= SUBSTR_K bytes), id2 = container.
+    Exact-gate variant: uncapped, mirrored by the uncapped quadratic
+    position() oracle."""
+    imgs = _fixture_images(spark).select(
+        F.col("image_id").alias("doc_id"), F.col("caption").alias("text")
+    )
+    return char_substring_pairs(
+        imgs, id_col="doc_id", text_col="text", k=SUBSTR_K,
+        max_posting=None, log_drops=False,
+    )
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming tier, driver-checkable: replay the corpus as THREE
     ordered micro-batches through the foreachBatch body
@@ -1499,6 +1516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
         "substring_containment": q_substring_containment,
+        "caption_substring_pairs": q_caption_substring_pairs,
         "doc_fingerprints": q_doc_fingerprints,
         "image_exact_dedup": q_image_exact_dedup,
         "image_features": q_image_features,
@@ -1974,6 +1992,16 @@ WHERE a.text IS NOT NULL AND b.text IS NOT NULL
   AND (strlen(a.text) < strlen(b.text)
        OR (strlen(a.text) = strlen(b.text) AND a.doc_id < b.doc_id))
   AND position(a.text IN b.text) > 0
+""",
+        "caption_substring_pairs": f"""
+SELECT a.image_id AS id1, b.image_id AS id2
+FROM {fixture} a JOIN {fixture} b ON a.image_id <> b.image_id
+WHERE a.caption IS NOT NULL AND b.caption IS NOT NULL
+  AND strlen(a.caption) >= {SUBSTR_K}
+  AND (strlen(a.caption) < strlen(b.caption)
+       OR (strlen(a.caption) = strlen(b.caption)
+           AND a.image_id < b.image_id))
+  AND position(a.caption IN b.caption) > 0
 """,
         # flood gate: uncapped exact CC over the flood-augmented corpus
         # (the engine runs the default star guard; cluster-level
