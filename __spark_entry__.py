@@ -1468,6 +1468,58 @@ def q_multimodal_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup over sampled-frame signatures (rawv containers,
+    multimodal/video.py): explode every 4th frame index with
+    sequence(), slice the frame with substring() and hash it with
+    md5(hex(...)) — all whole-stage codegen, zero Python — then
+    set-Jaccard over the signature sets via the inverted-index pair
+    generator. Catches exact copies, end-trims, appends and
+    re-containerizations; stride misalignment on arbitrary mid-cuts is
+    a documented property of frame sampling.
+
+    The oracle recomputes the identical signatures from the same
+    stored bytes (hex-then-slice commutes with slice-then-hex), the
+    same distinct-sig sets, pair intersections and rounded Jaccard —
+    a full value recompute with no ground-truth columns. Gate variant
+    runs uncapped (max_posting=None) so parity is corpus-independent;
+    production keeps the posting cap."""
+    from dedup_spark.multimodal.video import video_near_duplicates
+
+    return video_near_duplicates(
+        _fixture_videos(spark), every_n=4, threshold=0.5, max_posting=None
+    )
+
+
+def q_audio_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amplitude-invariant audio dedup (pcm16, multimodal/audio.py):
+    windowed int64 sum-of-squares energies → delta-sign fingerprint
+    (vectorized mapInPandas, payload never enters an exchange) →
+    cluster on (n_windows, fingerprint). Half-volume copies collapse
+    with their originals — the fixture asserts that invariance at
+    generation time.
+
+    Integer-exact by design: the oracle rebuilds every sample from
+    hex(bytes) through a 256-row lookup join, re-sums the window
+    energies, re-derives the bits and re-packs the fingerprint — so a
+    single flipped sample anywhere in the corpus fails the gate."""
+    from dedup_spark.multimodal.audio import audio_fingerprint_clusters
+
+    return audio_fingerprint_clusters(_fixture_audio(spark))
+
+
+def _fixture_videos(spark: SparkSession):
+    from dedup_spark.fixtures.materialize import fixture_videos_parquet
+
+    return spark.read.parquet(fixture_videos_parquet())
+
+
+def _fixture_audio(spark: SparkSession):
+    from dedup_spark.fixtures.materialize import fixture_audio_parquet
+
+    return spark.read.parquet(fixture_audio_parquet())
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: near-duplicate clustering of sf0.001 documents —
     MinHash-LSH candidates → exact-Jaccard verify → connected
@@ -1525,6 +1577,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_roundtrip_fidelity": q_jpeg_roundtrip_fidelity,
         "crossformat_pixel_dedup": q_crossformat_pixel_dedup,
         "multimodal_dedup_pipeline": q_multimodal_dedup_pipeline,
+        "video_frame_dedup": q_video_frame_dedup,
+        "audio_fingerprint_dups": q_audio_fingerprint_dups,
     }
 
 
@@ -1552,6 +1606,17 @@ def oracle_sql() -> dict[str, str]:
     # materializing here guarantees the file exists before DuckDB runs,
     # regardless of whether the driver executes SQL before Spark
     fixture = f"read_parquet('{fixture_images_parquet()}')"
+    from dedup_spark.fixtures.materialize import (
+        fixture_audio_parquet,
+        fixture_videos_parquet,
+    )
+
+    vid_fixture = f"read_parquet('{fixture_videos_parquet()}')"
+    aud_fixture = f"read_parquet('{fixture_audio_parquet()}')"
+    # 256-row hex-pair lookup: this DuckDB build cannot slice or hash
+    # BLOBs, so the audio oracle reconstructs int16 samples from
+    # hex(bytes) via substring + this VALUES join
+    hex_byte_values = ", ".join(f"('{i:02X}', {i})" for i in range(256))
     mults = gram_multipliers(SUBSTR_K)
     mult_values = ", ".join(
         f"({j}, {mults[j]}::UBIGINT)" for j in range(SUBSTR_K)
@@ -2228,5 +2293,64 @@ SELECT query_id, neighbor_id, cosine,
             ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
 FROM sym
 QUALIFY rnk <= {TOPK}
+""",
+        # full value recompute of the sampled-frame signatures from the
+        # stored rawv bytes: hex-then-slice commutes with the engine's
+        # slice-then-hex (offset 24 = 12-byte header in hex chars)
+        "video_frame_dedup": f"""
+WITH fx AS (SELECT video_id, hex(bytes) AS hx, w*h*3 AS fsz, n_frames
+            FROM {vid_fixture}),
+f AS (
+  SELECT DISTINCT video_id,
+         md5(substring(hx, 24 + t.k*fsz*2 + 1, fsz*2)) AS sig
+  FROM fx CROSS JOIN generate_series(0, 63) t(k)
+  WHERE t.k < n_frames AND t.k % 4 = 0
+),
+sz AS (SELECT video_id, count(*) AS n FROM f GROUP BY video_id),
+i AS (SELECT a.video_id AS id1, b.video_id AS id2, count(*) AS ni
+      FROM f a JOIN f b ON a.sig = b.sig AND a.video_id < b.video_id
+      GROUP BY 1, 2)
+SELECT id1, id2, round(ni / (s1.n + s2.n - ni), 6) AS jaccard
+FROM i JOIN sz s1 ON s1.video_id = i.id1 JOIN sz s2 ON s2.video_id = i.id2
+WHERE round(ni / (s1.n + s2.n - ni), 6) >= 0.5
+""",
+        # integer-exact recompute of the windowed-energy delta-sign
+        # fingerprint from hex(bytes): per-sample signed int16 via the
+        # hex lookup join, int64 sum-of-squares per 256-sample window,
+        # bit w-1 = energy[w] > energy[w-1], bit-packed with << — one
+        # flipped sample anywhere fails the compare
+        "audio_fingerprint_dups": f"""
+WITH hx AS (
+  SELECT audio_id, hex(bytes) AS h, n_samples // 256 AS n_win
+  FROM {aud_fixture} WHERE n_samples >= 512
+),
+hb(hh, v) AS (VALUES {hex_byte_values}),
+s AS (
+  SELECT hx.audio_id, t.k, hi.v * 256 + lo.v AS uv, hx.n_win
+  FROM hx CROSS JOIN generate_series(0, 8191) t(k)
+  JOIN hb lo ON lo.hh = substring(hx.h, 4*t.k+1, 2)
+  JOIN hb hi ON hi.hh = substring(hx.h, 4*t.k+3, 2)
+  WHERE t.k < hx.n_win * 256
+),
+sv AS (SELECT audio_id, k, n_win,
+              CASE WHEN uv >= 32768 THEN uv - 65536 ELSE uv END AS v FROM s),
+e AS (SELECT audio_id, any_value(n_win) AS n_win, k // 256 AS w,
+             sum(CAST(v AS BIGINT) * v) AS energy
+      FROM sv GROUP BY audio_id, k // 256),
+b AS (SELECT a.audio_id, a.w,
+             CASE WHEN a.energy > p.energy THEN 1 ELSE 0 END AS bit
+      FROM e a JOIN e p ON p.audio_id = a.audio_id AND p.w = a.w - 1),
+fp AS (SELECT b.audio_id, any_value(e2.n_win) AS n_win,
+              CAST(sum(bit * (1::BIGINT << (w - 1))) AS BIGINT) AS fingerprint
+       FROM b JOIN (SELECT audio_id, any_value(n_win) AS n_win
+                    FROM e GROUP BY audio_id) e2
+         ON e2.audio_id = b.audio_id
+       GROUP BY b.audio_id),
+g AS (SELECT n_win, fingerprint, min(audio_id) AS cluster_id,
+             CAST(count(*) AS BIGINT) AS n_members
+      FROM fp GROUP BY n_win, fingerprint)
+SELECT fp.audio_id, CAST(fp.n_win AS INT) AS n_windows, fp.fingerprint,
+       g.cluster_id, g.n_members
+FROM fp JOIN g ON g.n_win = fp.n_win AND g.fingerprint = fp.fingerprint
 """,
     }

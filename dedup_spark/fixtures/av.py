@@ -1,0 +1,262 @@
+"""Deterministic video and audio corpora for the multimodal tiers.
+
+The task model treats every modality as an opaque ``binary`` column
+with typed metadata (the input_hint pattern for images, extended):
+
+  videos: (video_id string, bytes binary, w int, h int,
+           n_frames int, fmt string)          fmt = 'rawv'
+  audio:  (audio_id string, bytes binary, sample_rate int,
+           n_samples int, fmt string)         fmt = 'pcm16'
+
+Container formats are deliberately *SQL-sliceable* so the DuckDB
+oracle can recompute the engine's frame/sample work from the stored
+bytes with zero codec code (hex() + substring arithmetic):
+
+  rawv  = 12-byte header (magic 'RV01', u32BE n_frames, u16BE w,
+          u16BE h) followed by n_frames raw RGB24 frames of exactly
+          w*h*3 bytes each. Frame k lives at offset 12 + k*w*h*3.
+  pcm16 = headerless int16 little-endian PCM, n_samples samples.
+
+No video/audio codec libraries exist in this container (and none are
+needed): the *decode* step for real-world codecs stays stubbed
+(multimodal/decode.py), while everything Spark-side — schema,
+partitioning, Arrow batch shape, frame slicing, windowed features —
+is real and oracle-checked on these raw containers.
+
+Duplicate structure (seeded, reproducible):
+  video: exact byte copies; END-TRIMMED copies (trim a multiple of
+         the sampling stride so the sampled-frame set is a strict
+         prefix subset — sampling-based dedup catches end trims and
+         re-containerizations, not arbitrary mid-cuts, and the
+         fixture is honest about that); APPENDED copies (new frames
+         after the shared content).
+  audio: exact byte copies and HALF-VOLUME copies (x >> 1) — the
+         delta-sign energy fingerprint is amplitude-invariant, so
+         volume-normalized duplicates collapse; generation asserts
+         the window-energy margins survive the shift so the fixture
+         can never silently break that story.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+VIDEOS_SCHEMA = (
+    "video_id string, bytes binary, w int, h int, n_frames int, fmt string"
+)
+AUDIO_SCHEMA = (
+    "audio_id string, bytes binary, sample_rate int, n_samples int, fmt string"
+)
+
+RAWV_MAGIC = b"RV01"
+RAWV_HEADER = 12
+
+# pinned fixture geometry — the oracle's uncorrelated generate_series
+# upper bounds must cover every row, so they are module constants
+VIDEO_W, VIDEO_H = 8, 8
+FRAME_SIZE = VIDEO_W * VIDEO_H * 3
+MAX_FRAMES = 64
+
+AUDIO_RATE = 16_000
+AUDIO_WINDOW = 256
+MAX_SAMPLES = 8_192
+
+
+def _stream(seed: bytes, n: int) -> bytes:
+    """Counter-mode sha256 byte stream (same scheme as images.py)."""
+    blocks = []
+    for ctr in range(n // 32 + 1):
+        blocks.append(hashlib.sha256(seed + ctr.to_bytes(4, "big")).digest())
+    return b"".join(blocks)[:n]
+
+
+# ---------------------------------------------------------------------------
+# rawv container
+# ---------------------------------------------------------------------------
+
+
+def encode_rawv(frames: np.ndarray) -> bytes:
+    """(n, h, w, 3) uint8 -> rawv container bytes."""
+    n, h, w, _ = frames.shape
+    header = (
+        RAWV_MAGIC
+        + int(n).to_bytes(4, "big")
+        + int(w).to_bytes(2, "big")
+        + int(h).to_bytes(2, "big")
+    )
+    return header + frames.astype(np.uint8).tobytes()
+
+
+def decode_rawv(data: bytes) -> np.ndarray:
+    """rawv bytes -> (n, h, w, 3) uint8; raises on a bad container."""
+    if data[:4] != RAWV_MAGIC:
+        raise ValueError("not a rawv container")
+    n = int.from_bytes(data[4:8], "big")
+    w = int.from_bytes(data[8:10], "big")
+    h = int.from_bytes(data[10:12], "big")
+    body = data[RAWV_HEADER : RAWV_HEADER + n * w * h * 3]
+    if len(body) != n * w * h * 3:
+        raise ValueError("truncated rawv body")
+    return np.frombuffer(body, dtype=np.uint8).reshape(n, h, w, 3).copy()
+
+
+@dataclass
+class VideoCorpus:
+    videos: pd.DataFrame  # VIDEOS_SCHEMA columns
+    # ids that share >= 50% of sampled frames with their base (incl. base)
+    near_groups: list[list[str]]
+
+
+def _video_frames(vid: int, n_frames: int) -> np.ndarray:
+    """n globally-unique deterministic frames for base video `vid`."""
+    raw = _stream(b"video:%d" % vid, n_frames * FRAME_SIZE)
+    return (
+        np.frombuffer(raw, dtype=np.uint8)
+        .reshape(n_frames, VIDEO_H, VIDEO_W, 3)
+        .copy()
+    )
+
+
+def generate_video_corpus(
+    n_base: int = 60, every_n: int = 4, seed: int = 42
+) -> VideoCorpus:
+    rng = np.random.default_rng(seed)
+    rows: list[tuple] = []
+    groups: list[list[str]] = []
+
+    def add(vid_id: str, frames: np.ndarray) -> None:
+        rows.append(
+            (
+                vid_id,
+                encode_rawv(frames),
+                VIDEO_W,
+                VIDEO_H,
+                frames.shape[0],
+                "rawv",
+            )
+        )
+
+    for i in range(n_base):
+        # 12..48 frames, always a few sampling strides long
+        n_frames = int(rng.integers(3, 13)) * every_n
+        assert n_frames <= MAX_FRAMES
+        frames = _video_frames(i, n_frames)
+        base_id = f"vid_{i:04d}.rawv"
+        add(base_id, frames)
+        group = [base_id]
+        r = rng.random()
+        if r < 0.20:  # exact byte copy
+            dup_id = f"vid_{i:04d}_copy.rawv"
+            add(dup_id, frames)
+            group.append(dup_id)
+        elif r < 0.40:  # end-trim by one or two strides (keeps >=50%)
+            trim = every_n * int(rng.integers(1, 3))
+            if n_frames - trim >= every_n * 2:
+                dup_id = f"vid_{i:04d}_trim.rawv"
+                add(dup_id, frames[: n_frames - trim])
+                group.append(dup_id)
+        elif r < 0.55:  # append new frames after the shared content
+            extra = every_n * int(rng.integers(1, 3))
+            if n_frames + extra <= MAX_FRAMES:
+                tail = (
+                    np.frombuffer(
+                        _stream(b"video-extra:%d" % i, extra * FRAME_SIZE),
+                        dtype=np.uint8,
+                    )
+                    .reshape(extra, VIDEO_H, VIDEO_W, 3)
+                    .copy()
+                )
+                dup_id = f"vid_{i:04d}_ext.rawv"
+                add(dup_id, np.concatenate([frames, tail]))
+                group.append(dup_id)
+        if len(group) > 1:
+            groups.append(group)
+
+    videos = pd.DataFrame(
+        rows, columns=["video_id", "bytes", "w", "h", "n_frames", "fmt"]
+    )
+    return VideoCorpus(videos=videos, near_groups=groups)
+
+
+# ---------------------------------------------------------------------------
+# pcm16 audio
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class AudioCorpus:
+    audio: pd.DataFrame  # AUDIO_SCHEMA columns
+    dup_groups: list[list[str]]  # same-fingerprint groups (incl. base)
+
+
+def window_energies(samples: np.ndarray, window: int = AUDIO_WINDOW) -> np.ndarray:
+    """Exact int64 sum-of-squares per complete window (remainder
+    truncated) — integer math so Spark/DuckDB/numpy agree bit-for-bit."""
+    n_win = samples.shape[0] // window
+    x = samples[: n_win * window].astype(np.int64)
+    return (x * x).reshape(n_win, window).sum(axis=1)
+
+
+def energy_fingerprint(samples: np.ndarray, window: int = AUDIO_WINDOW) -> int:
+    """Delta-sign fingerprint: bit w-1 set iff energy[w] > energy[w-1].
+    Amplitude-invariant (any monotone volume scaling preserves the
+    energy ordering, margins permitting) — the audio analog of SimHash.
+    Requires < 65 windows so the fingerprint fits in one int64."""
+    e = window_energies(samples, window)
+    assert e.shape[0] <= 64, "fingerprint must fit in 63 bits"
+    bits = (np.diff(e) > 0).astype(np.int64)
+    return int((bits << np.arange(bits.shape[0], dtype=np.int64)).sum())
+
+
+def _audio_samples(aid: int, n_samples: int) -> np.ndarray:
+    raw = _stream(b"audio:%d" % aid, n_samples * 2)
+    return np.frombuffer(raw, dtype="<i2").copy()
+
+
+def generate_audio_corpus(n_base: int = 50, seed: int = 42) -> AudioCorpus:
+    rng = np.random.default_rng(seed)
+    rows: list[tuple] = []
+    groups: list[list[str]] = []
+
+    def add(aid: str, samples: np.ndarray) -> None:
+        rows.append(
+            (
+                aid,
+                samples.astype("<i2").tobytes(),
+                AUDIO_RATE,
+                samples.shape[0],
+                "pcm16",
+            )
+        )
+
+    for i in range(n_base):
+        n_samples = AUDIO_WINDOW * int(rng.integers(8, 17))  # 8..16 windows
+        assert n_samples <= MAX_SAMPLES
+        samples = _audio_samples(i, n_samples)
+        base_id = f"aud_{i:04d}.pcm"
+        add(base_id, samples)
+        group = [base_id]
+        r = rng.random()
+        if r < 0.2:  # exact byte copy
+            dup_id = f"aud_{i:04d}_copy.pcm"
+            add(dup_id, samples)
+            group.append(dup_id)
+        elif r < 0.4:  # half-volume copy: same delta-sign fingerprint
+            scaled = samples >> 1
+            # the story must hold by construction, not by luck: the
+            # energy ordering has to survive the shift
+            assert energy_fingerprint(scaled) == energy_fingerprint(samples)
+            dup_id = f"aud_{i:04d}_half.pcm"
+            add(dup_id, scaled)
+            group.append(dup_id)
+        if len(group) > 1:
+            groups.append(group)
+
+    audio = pd.DataFrame(
+        rows, columns=["audio_id", "bytes", "sample_rate", "n_samples", "fmt"]
+    )
+    return AudioCorpus(audio=audio, dup_groups=groups)

@@ -71,3 +71,74 @@ def fixture_images_parquet(params: dict | None = None) -> str:
         if os.path.exists(tmp):
             os.unlink(tmp)
     return path
+
+
+def _write_atomic(table, out_dir: str, path: str) -> str:
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".parquet.tmp")
+    os.close(fd)
+    try:
+        pq.write_table(table, tmp)
+        os.rename(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return path
+
+
+VIDEO_PARAMS = dict(n_base=60, every_n=4, seed=42)
+AUDIO_PARAMS = dict(n_base=50, seed=42)
+
+
+def fixture_videos_parquet(params: dict | None = None) -> str:
+    """Pinned rawv video corpus (fixtures/av.py), written once; read by
+    Spark and DuckDB alike — same golden-file contract as the images."""
+    import pyarrow as pa
+
+    from dedup_spark.fixtures.av import generate_video_corpus
+
+    params = dict(VIDEO_PARAMS if params is None else params)
+    out_dir = os.path.join(FIXTURE_ROOT, "videos_" + _params_tag(params))
+    path = os.path.join(out_dir, "videos.parquet")
+    if os.path.exists(path):
+        return path
+    pdf = generate_video_corpus(**params).videos
+    table = pa.Table.from_arrays(
+        [
+            pa.array(pdf["video_id"], type=pa.string()),
+            pa.array(pdf["bytes"], type=pa.binary()),
+            pa.array(pdf["w"], type=pa.int32()),
+            pa.array(pdf["h"], type=pa.int32()),
+            pa.array(pdf["n_frames"], type=pa.int32()),
+            pa.array(pdf["fmt"], type=pa.string()),
+        ],
+        names=["video_id", "bytes", "w", "h", "n_frames", "fmt"],
+    )
+    return _write_atomic(table, out_dir, path)
+
+
+def fixture_audio_parquet(params: dict | None = None) -> str:
+    """Pinned pcm16 audio corpus (fixtures/av.py)."""
+    import pyarrow as pa
+
+    from dedup_spark.fixtures.av import generate_audio_corpus
+
+    params = dict(AUDIO_PARAMS if params is None else params)
+    out_dir = os.path.join(FIXTURE_ROOT, "audio_" + _params_tag(params))
+    path = os.path.join(out_dir, "audio.parquet")
+    if os.path.exists(path):
+        return path
+    pdf = generate_audio_corpus(**params).audio
+    table = pa.Table.from_arrays(
+        [
+            pa.array(pdf["audio_id"], type=pa.string()),
+            pa.array(pdf["bytes"], type=pa.binary()),
+            pa.array(pdf["sample_rate"], type=pa.int32()),
+            pa.array(pdf["n_samples"], type=pa.int32()),
+            pa.array(pdf["fmt"], type=pa.string()),
+        ],
+        names=["audio_id", "bytes", "sample_rate", "n_samples", "fmt"],
+    )
+    return _write_atomic(table, out_dir, path)

@@ -1,0 +1,105 @@
+"""Audio feature extraction + amplitude-invariant fingerprint dedup.
+
+pcm16 payloads (headerless int16 LE PCM, fixtures/av.py) are decoded
+inside an Arrow-batched mapInPandas — `np.frombuffer` straight off the
+Arrow buffer, windowed energies via one reshape/sum, fingerprint bits
+via one vectorized diff — no per-sample Python anywhere.
+
+The fingerprint is the delta-sign of consecutive window energies
+(energy = exact int64 sum of squares over 256-sample windows, bit w-1
+set iff energy[w] > energy[w-1]): a deliberately integer-exact design
+so the DuckDB oracle can recompute the IDENTICAL value from the stored
+bytes — hex(bytes) sliced into per-sample hex pairs, mapped to signed
+values through a 256-row lookup join, summed, compared, bit-packed.
+No floats means no rounding-parity hazards on either side.
+
+Amplitude invariance: any monotone volume scaling preserves the energy
+ordering (margins permitting), so volume-normalized duplicates collapse
+to one fingerprint — the audio analog of the caption-normalization
+dedup tier. The fixture generator asserts its half-volume variants
+keep their fingerprints, so the invariance story is enforced by
+construction, never by luck.
+
+Dedup semantics: audios cluster on (n_windows, fingerprint) —
+including the window count keeps a short clip from colliding with a
+long one that happens to share low bits. Output is a full assignment
+table (singletons self-clustered) like the exact tier.
+
+Scale shape: the payload is consumed once in the UDF projection
+(audio_id, bytes → audio_id, n_windows, fingerprint — bytes never
+enters an exchange); clustering is a map-side-combined groupBy on a
+16-byte key + a broadcast-sized join-back. A duplicate flood lands on
+AQE's skew handling like every other content-keyed group.
+
+Reference parity: [EXT] surface — generalizes the reference's
+group-by-content-hash (src/hasher.rs) to a perceptual audio key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from dedup_spark.fixtures.av import AUDIO_WINDOW
+
+FEATURES_SCHEMA = "audio_id string, n_windows int, fingerprint long"
+
+
+def audio_fingerprints(
+    df: DataFrame,
+    window: int = AUDIO_WINDOW,
+    id_col: str = "audio_id",
+) -> DataFrame:
+    """(audio_id, n_windows, fingerprint) — vectorized pandas UDF.
+
+    Truncates the trailing incomplete window (mirrored by the oracle's
+    `k < n_windows * window` bound). Rows whose payload is missing or
+    shorter than two windows (no delta exists) are dropped — unreadable
+    -row skip semantics again."""
+
+    def _fp(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: list[tuple] = []
+            for aid, data in zip(pdf[id_col], pdf["bytes"]):
+                if data is None:
+                    continue
+                samples = np.frombuffer(bytes(data), dtype="<i2")
+                n_win = samples.shape[0] // window
+                if n_win < 2:
+                    continue
+                x = samples[: n_win * window].astype(np.int64)
+                e = (x * x).reshape(n_win, window).sum(axis=1)
+                bits = (np.diff(e) > 0).astype(np.int64)
+                fp = int((bits << np.arange(bits.shape[0], dtype=np.int64)).sum())
+                out.append((aid, n_win, fp))
+            yield pd.DataFrame(
+                out, columns=["audio_id", "n_windows", "fingerprint"]
+            )
+
+    return df.select(id_col, "bytes").mapInPandas(_fp, schema=FEATURES_SCHEMA)
+
+
+def audio_fingerprint_clusters(
+    df: DataFrame,
+    window: int = AUDIO_WINDOW,
+    id_col: str = "audio_id",
+) -> DataFrame:
+    """Full assignment table: (audio_id, n_windows, fingerprint,
+    cluster_id, n_members), cluster = min id per (n_windows,
+    fingerprint) group, singletons self-clustered."""
+    fps = audio_fingerprints(df, window=window, id_col=id_col)
+    fps = fps.localCheckpoint(eager=False)  # UDF output feeds two sides
+    groups = fps.groupBy("n_windows", "fingerprint").agg(
+        F.min(id_col).alias("cluster_id"),
+        F.count("*").alias("n_members"),
+    )
+    return fps.join(groups, on=["n_windows", "fingerprint"]).select(
+        id_col,
+        "n_windows",
+        "fingerprint",
+        "cluster_id",
+        "n_members",
+    )

@@ -358,10 +358,15 @@ def pixel_sha(
 
 
 def frame_sample_stub(df: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame sampling — STUB. Video codecs are absent from the
-    container; the real operator would mapInPandas over (video_id, bytes)
-    and emit (video_id, frame_idx, frame_bytes). Raises on use."""
+    """Frame sampling for CODEC-COMPRESSED video (h264/vp9/...) — STUB:
+    those decoders are absent from this container. The REAL frame
+    sampler exists for raw containers: multimodal/video.py
+    `sample_frames` (Arrow-batched mapInPandas emitting
+    (video_id, frame_idx, frame_bytes, w, h)) and its JVM-only sibling
+    `frame_signatures` — a codec build would swap the rawv slice for a
+    decode call inside the exact same UDF shape. Raises on use."""
     raise NotImplementedError(
-        "video frame sampling requires a codec lib not present in this "
-        "container; see module docstring for the intended plumbing"
+        "compressed-video frame sampling requires a codec lib not present "
+        "in this container; use multimodal.video.sample_frames for rawv "
+        "containers — the plumbing is identical"
     )

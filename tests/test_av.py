@@ -1,0 +1,178 @@
+"""Video (rawv) and audio (pcm16) multimodal tiers — fixtures/av.py,
+multimodal/video.py, multimodal/audio.py."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from dedup_spark.fixtures.av import (
+    AUDIO_WINDOW,
+    FRAME_SIZE,
+    RAWV_HEADER,
+    decode_rawv,
+    encode_rawv,
+    energy_fingerprint,
+    generate_audio_corpus,
+    generate_video_corpus,
+)
+from dedup_spark.fixtures.materialize import (
+    fixture_audio_parquet,
+    fixture_videos_parquet,
+)
+from dedup_spark.multimodal.audio import (
+    audio_fingerprint_clusters,
+    audio_fingerprints,
+)
+from dedup_spark.multimodal.video import (
+    frame_signatures,
+    sample_frames,
+    video_near_duplicates,
+)
+
+
+def test_rawv_roundtrip():
+    frames = np.arange(2 * 8 * 8 * 3, dtype=np.uint8).reshape(2, 8, 8, 3) % 251
+    data = encode_rawv(frames)
+    assert data[:4] == b"RV01"
+    out = decode_rawv(data)
+    assert out.shape == (2, 8, 8, 3)
+    assert np.array_equal(out, frames)
+
+
+def test_video_corpus_deterministic():
+    a = generate_video_corpus(n_base=10, seed=7)
+    b = generate_video_corpus(n_base=10, seed=7)
+    assert list(a.videos["video_id"]) == list(b.videos["video_id"])
+    assert all(
+        bytes(x) == bytes(y) for x, y in zip(a.videos["bytes"], b.videos["bytes"])
+    )
+
+
+def test_sample_frames_matches_jvm_slicing(spark):
+    """The mapInPandas sampler and the codegen substring path must see
+    byte-identical frames: md5(hex(frame)) of the sampled payloads ==
+    frame_signatures output, row for row."""
+    df = spark.read.parquet(fixture_videos_parquet())
+    sampled = {
+        (r["video_id"], r["frame_idx"]): bytes(r["frame_bytes"])
+        for r in sample_frames(df, every_n=4).collect()
+    }
+    jvm = {
+        (r["video_id"], r["frame_idx"]): r["sig"]
+        for r in frame_signatures(df, every_n=4).collect()
+    }
+    assert sampled.keys() == jvm.keys() and len(sampled) > 100
+    for key, payload in sampled.items():
+        assert (
+            hashlib.md5(payload.hex().upper().encode()).hexdigest() == jvm[key]
+        )
+
+
+def test_sample_frames_skips_bad_containers(spark):
+    good = encode_rawv(np.zeros((4, 2, 2, 3), dtype=np.uint8))
+    rows = [
+        ("ok", good, 2, 2, 4, "rawv"),
+        ("bad_magic", b"XXXX" + good[4:], 2, 2, 4, "rawv"),
+        ("truncated", good[:-5], 2, 2, 4, "rawv"),
+        ("null", None, 2, 2, 4, "rawv"),
+    ]
+    df = spark.createDataFrame(
+        rows, "video_id string, bytes binary, w int, h int, n_frames int, fmt string"
+    )
+    out = sample_frames(df, every_n=2).collect()
+    assert {r["video_id"] for r in out} == {"ok"}
+    assert sorted(r["frame_idx"] for r in out) == [0, 2]
+
+
+def test_video_near_duplicates_story(spark):
+    """Exact copies hit jaccard 1.0; end-trims and appends clear 0.5;
+    unrelated base videos never pair."""
+    corpus = generate_video_corpus()
+    df = spark.read.parquet(fixture_videos_parquet())
+    pairs = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in video_near_duplicates(df, max_posting=None).collect()
+    }
+    expected = {tuple(sorted(g)) for g in corpus.near_groups}
+    assert set(pairs) == expected
+    for (id1, id2), jac in pairs.items():
+        if id2.endswith("_copy.rawv"):
+            assert jac == 1.0
+        else:
+            assert 0.5 <= jac < 1.0
+
+
+def test_video_posting_cap_drops_viral_frame(spark):
+    """A frame shared by every video floods its posting list; the cap
+    removes that signature instead of emitting O(n^2) pairs."""
+    shared = np.full((1, 2, 2, 3), 7, dtype=np.uint8)
+    rows = []
+    for i in range(8):
+        unique = np.frombuffer(
+            hashlib.sha256(b"v%d" % i).digest()[: 2 * 2 * 3], dtype=np.uint8
+        ).reshape(1, 2, 2, 3)
+        frames = np.concatenate([shared, unique])
+        rows.append((f"v{i}", encode_rawv(frames), 2, 2, 2, "rawv"))
+    df = spark.createDataFrame(
+        rows, "video_id string, bytes binary, w int, h int, n_frames int, fmt string"
+    )
+    # every_n=1 samples both frames; the shared sig has 8 postings
+    flooded = video_near_duplicates(df, every_n=1, threshold=0.3, max_posting=None)
+    capped = video_near_duplicates(df, every_n=1, threshold=0.3, max_posting=4)
+    assert flooded.count() == 28  # C(8,2) via the shared frame
+    assert capped.count() == 0  # shared sig dropped, uniques don't pair
+
+
+def test_audio_fingerprint_matches_reference_impl(spark):
+    df = spark.read.parquet(fixture_audio_parquet())
+    got = {
+        r["audio_id"]: (r["n_windows"], r["fingerprint"])
+        for r in audio_fingerprints(df).collect()
+    }
+    pdf = pd.read_parquet(fixture_audio_parquet())
+    for _, row in pdf.iterrows():
+        samples = np.frombuffer(bytes(row["bytes"]), dtype="<i2")
+        assert got[row["audio_id"]] == (
+            samples.shape[0] // AUDIO_WINDOW,
+            energy_fingerprint(samples),
+        )
+
+
+def test_audio_clusters_amplitude_invariance(spark):
+    """Half-volume and exact copies cluster with their base; distinct
+    base signals stay apart (pinned corpus has no cross-base fp
+    collisions)."""
+    corpus = generate_audio_corpus()
+    df = spark.read.parquet(fixture_audio_parquet())
+    out = {
+        r["audio_id"]: r["cluster_id"]
+        for r in audio_fingerprint_clusters(df).collect()
+    }
+    for group in corpus.dup_groups:
+        roots = {out[aid] for aid in group}
+        assert len(roots) == 1, group
+    bases = [aid for aid in out if aid.endswith(".pcm") and "_" not in aid[4:]]
+    assert len({out[b] for b in bases}) == len(bases)
+
+
+def test_audio_short_and_null_rows_skipped(spark):
+    rows = [
+        ("ok", np.arange(512, dtype="<i2").tobytes(), 16000, 512, "pcm16"),
+        ("short", np.arange(300, dtype="<i2").tobytes(), 16000, 300, "pcm16"),
+        ("null", None, 16000, 0, "pcm16"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "audio_id string, bytes binary, sample_rate int, n_samples int, fmt string",
+    )
+    out = audio_fingerprints(df).collect()
+    assert [r["audio_id"] for r in out] == ["ok"]
+    assert out[0]["n_windows"] == 2
+
+
+def test_frame_size_constant_consistent():
+    assert FRAME_SIZE == 8 * 8 * 3
+    assert RAWV_HEADER == 12
