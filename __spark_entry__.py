@@ -1468,6 +1468,64 @@ def q_multimodal_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based report stage — the 100 TB answer to `dup_stats`.
+
+    At web scale the report pass cannot afford exact COUNT(DISTINCT)
+    (full shuffle of every key) or exact percentiles (global sort):
+    production runs one map-side-combinable pass of fixed-size sketches
+    — HyperLogLog++ (`approx_count_distinct`) for cardinality and a
+    Greenwald-Khanna quantile sketch (`percentile_approx`) for the
+    size distribution — bounded state per partition, merged on the
+    driver.
+
+    This gate holds the sketches to account at test scale: the engine
+    computes BOTH the sketch and the exact value, emits the exact
+    values plus booleans asserting the sketch landed inside its
+    advertised error (HLL rsd 5%; the quantile sketch — which returns
+    a rank-approximate dataset ELEMENT, not an interpolated value —
+    within 1% of the exact interpolated percentile), and the oracle
+    recomputes the exacts in SQL and pins the booleans TRUE — sketch
+    drift fails the hash compare. Same measure-against-exact pattern
+    as lsh_recall_report / ivf_recall_report: the expensive exact side
+    exists to measure, the sketch is what production would keep.
+    (Sketch register values themselves are implementation-defined, so
+    they are asserted-through-booleans, never emitted as columns.)
+    """
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    agg = docs.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("n_chars").alias("distinct_exact"),
+        F.approx_count_distinct("n_chars", rsd=0.05).alias("_hll"),
+        F.expr("percentile(n_chars, 0.5)").alias("_p50_exact"),
+        F.expr("percentile(n_chars, 0.95)").alias("_p95_exact"),
+        F.percentile_approx("n_chars", 0.5, 10000).alias("_p50_td"),
+        F.percentile_approx("n_chars", 0.95, 10000).alias("_p95_td"),
+    )
+    tol = F.lit(0.01)
+    return agg.select(
+        "n_rows",
+        "distinct_exact",
+        (
+            F.abs(F.col("_hll") - F.col("distinct_exact"))
+            / F.col("distinct_exact")
+            <= 0.05
+        ).alias("hll_rel_err_ok"),
+        F.round("_p50_exact", 6).alias("p50_exact"),
+        F.round("_p95_exact", 6).alias("p95_exact"),
+        (
+            F.abs(F.col("_p50_td") - F.col("_p50_exact"))
+            <= tol * F.col("_p50_exact")
+        ).alias("p50_sketch_ok"),
+        (
+            F.abs(F.col("_p95_td") - F.col("_p95_exact"))
+            <= tol * F.col("_p95_exact")
+        ).alias("p95_sketch_ok"),
+    )
+
+
 def q_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-dup over sampled-frame signatures (rawv containers,
     multimodal/video.py): explode every 4th frame index with
@@ -1579,6 +1637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_dedup_pipeline": q_multimodal_dedup_pipeline,
         "video_frame_dedup": q_video_frame_dedup,
         "audio_fingerprint_dups": q_audio_fingerprint_dups,
+        "sketch_stats": q_sketch_stats,
     }
 
 
@@ -2352,5 +2411,18 @@ g AS (SELECT n_win, fingerprint, min(audio_id) AS cluster_id,
 SELECT fp.audio_id, CAST(fp.n_win AS INT) AS n_windows, fp.fingerprint,
        g.cluster_id, g.n_members
 FROM fp JOIN g ON g.n_win = fp.n_win AND g.fingerprint = fp.fingerprint
+""",
+        # sketch accuracy gate: exacts recomputed in SQL, the sketch-ok
+        # booleans pinned TRUE — HLL/quantile-sketch drift outside the
+        # advertised error fails the hash compare
+        "sketch_stats": """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT length(text)) AS BIGINT) AS distinct_exact,
+       TRUE AS hll_rel_err_ok,
+       round(quantile_cont(length(text), 0.5), 6) AS p50_exact,
+       round(quantile_cont(length(text), 0.95), 6) AS p95_exact,
+       TRUE AS p50_sketch_ok,
+       TRUE AS p95_sketch_ok
+FROM documents
 """,
     }
