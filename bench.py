@@ -233,11 +233,18 @@ def main() -> None:
         "image_rows": n_images if img_path else 0,
     }
     result["cpu_sec"] = cpu
-    if "image_pipeline" in times:
-        result["images_per_sec"] = round(n_images / times["image_pipeline"], 1)
-        if cpu.get("image_pipeline"):
+    # per-image rate metrics for whichever image-corpus job ran (the
+    # scaling harness medians these; image_pipeline wins when both ran)
+    rate_q = next(
+        (q for q in ("image_pipeline", "multimodal_pipeline") if q in times),
+        None,
+    )
+    if rate_q and times[rate_q]:
+        result["rate_query"] = rate_q
+        result["images_per_sec"] = round(n_images / times[rate_q], 1)
+        if cpu.get(rate_q):
             result["cpu_sec_per_kimg"] = round(
-                1000 * cpu["image_pipeline"] / n_images, 3
+                1000 * cpu[rate_q] / n_images, 3
             )
     print(json.dumps(result))
 

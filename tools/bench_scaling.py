@@ -48,9 +48,22 @@ def run_level(
     for line in reversed(out.stdout.strip().splitlines()):
         if line.startswith("{"):
             try:
-                return json.loads(line)
+                rep = json.loads(line)
             except json.JSONDecodeError:
                 continue
+            # fail FAST on a malformed rep — a missing rate metric must
+            # abort at the first rep, not at the median step after the
+            # full interleaved matrix has burned its wall-clock
+            if "cpu_sec_per_kimg" not in rep:
+                c = rep.get("cpu_sec", {}).get(job)
+                if c and rows:
+                    rep["cpu_sec_per_kimg"] = round(1000 * c / rows, 3)
+                else:
+                    raise RuntimeError(
+                        f"bench.py (cpus={ncpus}, job={job}) emitted no "
+                        f"cpu_sec_per_kimg and no cpu_sec[{job}]: {rep}"
+                    )
+            return rep
     raise RuntimeError(
         f"bench.py (cpus={ncpus}) produced no JSON line; "
         f"stdout tail: {out.stdout[-500:]!r} stderr tail: {out.stderr[-500:]!r}"
