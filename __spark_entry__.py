@@ -42,6 +42,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dedup_spark.config import DEFAULT_CONFIG, DedupConfig
 from dedup_spark.functions import text as TX
+from dedup_spark.functions.pii import (
+    EMAIL_PATTERN as PII_EMAIL,
+    IPV4_PATTERN as PII_IPV4,
+    PHONE_PATTERN as PII_PHONE,
+)
 from dedup_spark.operators.canonical import with_canonical
 from dedup_spark.operators.components import clusters_from_pairs, connected_components
 from dedup_spark.operators.embeddings import ann_verified_pairs, cosine_scores_gemm
@@ -1578,6 +1583,115 @@ def _fixture_audio(spark: SparkSession):
     return spark.read.parquet(fixture_audio_parquet())
 
 
+def q_boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate removal (CCNet-style, see
+    operators/boilerplate.py): non-overlapping 4-token segments shared
+    verbatim by >= 2 distinct documents are boilerplate; per document
+    report segment counts and the post-removal token budget. Single-
+    line corpus, so fixed token windows stand in for paragraphs —
+    the shuffle/aggregation shape is identical."""
+    from dedup_spark.operators.boilerplate import boilerplate_stats
+
+    return boilerplate_stats(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        seg_tokens=4, min_docs=2,
+    )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals (Gopher §A1.1 repetition
+    filters): duplicate-word fraction (array-local, scan speed) and
+    top-bigram count/fraction (explode → two combinable groupBys —
+    linear, unlike an O(L²) array-local scan on long web docs)."""
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    base = docs.select(
+        "doc_id",
+        F.round(TX.dup_word_fraction(t), 6).alias("dup_word_frac"),
+        F.size(F.split(F.lower(F.trim(t)), r"\s+")).alias("_n_tok"),
+    )
+    top = (
+        docs.select("doc_id", F.explode(TX.bigrams(t)).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("_top"))
+    )
+    return base.join(top, on="doc_id", how="left").select(
+        "doc_id",
+        "dup_word_frac",
+        F.coalesce(F.col("_top"), F.lit(0)).cast("long").alias("top_bigram_count"),
+        F.round(
+            F.coalesce(F.col("_top"), F.lit(0)) * 2.0 / F.col("_n_tok"), 6
+        ).alias("top_bigram_frac"),
+    )
+
+
+def _pii_enriched(doc_id: F.Column, text: F.Column) -> F.Column:
+    """Deterministic PII injection — the corpus carries no organic PII,
+    so (like fingerprint_dups' injected normalization variants) the
+    scan is made non-vacuous by a pure column expression replicated
+    verbatim in the oracle SQL: every 5th doc gains an email, every
+    7th an IPv4, every 11th a phone number. Both engines scan the SAME
+    derived text; the gate pins pattern parity, not the injection."""
+    did = doc_id.cast("string")
+    return F.concat(
+        text,
+        F.when(
+            doc_id % 5 == 0,
+            F.concat(F.lit(" contact: user"), did, F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            doc_id % 7 == 0,
+            F.concat(
+                F.lit(" host 10."),
+                (doc_id % 200).cast("string"),
+                F.lit(".3."),
+                ((doc_id * 3) % 250).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            doc_id % 11 == 0,
+            F.concat(F.lit(" call +1-555-"), (1000 + doc_id % 9000).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-tier PII scan + redaction (functions/pii.py — the
+    BigScience/RefinedWeb scrub shape): per-doc email/IPv4/phone match
+    counts and the redacted text length, all built-in regexp_count /
+    regexp_replace at scan speed. Patterns restricted to the shared
+    Java-regex/RE2 dialect; the oracle re-runs them in DuckDB so any
+    dialect divergence fails the hash compare."""
+    from dedup_spark.functions import pii
+
+    docs = _docs(spark, sf_dir)
+    t = _pii_enriched(F.col("doc_id"), F.col("text"))
+    counts = pii.pii_counts(t)
+    return docs.select(
+        "doc_id",
+        counts["emails"].cast("long").alias("n_emails"),
+        counts["ipv4"].cast("long").alias("n_ipv4"),
+        counts["phones"].cast("long").alias("n_phones"),
+        F.length(pii.redact(t)).cast("long").alias("redacted_len"),
+    )
+
+
+def q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global training order (operators/ordering.py):
+    position of every doc in the md5(seed||id)-keyed shuffle, assigned
+    by two-pass bucketed ranking — 256 parallel window sorts plus a
+    256-row offset broadcast, never a single-partition window. NOTE:
+    like the log_drops/n_blocks builders, construction runs one small
+    Spark action (the 256-row bucket-count collect)."""
+    from dedup_spark.operators.ordering import global_shuffle_index
+
+    return global_shuffle_index(
+        _docs(spark, sf_dir).select("doc_id"), id_col="doc_id", seed="seed-0"
+    ).select("doc_id", "shuffle_key", F.col("shuffle_pos"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: near-duplicate clustering of sf0.001 documents —
     MinHash-LSH candidates → exact-Jaccard verify → connected
@@ -1638,6 +1752,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_dedup": q_video_frame_dedup,
         "audio_fingerprint_dups": q_audio_fingerprint_dups,
         "sketch_stats": q_sketch_stats,
+        "boilerplate_stats": q_boilerplate_stats,
+        "repetition_stats": q_repetition_stats,
+        "pii_scan": q_pii_scan,
+        "deterministic_shuffle": q_deterministic_shuffle,
     }
 
 
@@ -2423,6 +2541,83 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
        round(quantile_cont(length(text), 0.95), 6) AS p95_exact,
        TRUE AS p50_sketch_ok,
        TRUE AS p95_sketch_ok
+FROM documents
+""",
+        # non-overlapping 4-token windows; DuckDB list slice toks[a:b]
+        # is 1-based inclusive = Spark slice(toks, a, 4). range() is
+        # [start, stop), so i runs 1..len//4 exactly like F.sequence.
+        "boilerplate_stats": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+seg AS (
+  SELECT doc_id, array_to_string(toks[(i-1)*4+1 : i*4], ' ') AS seg
+  FROM t, UNNEST(range(1, len(toks)//4 + 1)) AS u(i)
+),
+bp AS (SELECT seg FROM seg GROUP BY seg HAVING count(DISTINCT doc_id) >= 2),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bp
+  FROM seg WHERE seg IN (SELECT seg FROM bp) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(toks)//4 AS BIGINT) AS n_segments,
+       CAST(coalesce(per.n_bp, 0) AS BIGINT) AS n_boilerplate,
+       CAST(len(toks) - coalesce(per.n_bp, 0)*4 AS BIGINT) AS kept_tokens
+FROM t LEFT JOIN per USING (doc_id)
+""",
+        # dup_word_frac is a ratio of two ints (one IEEE division —
+        # bit-identical); top_bigram_frac likewise. *1.0 forces DuckDB
+        # out of integer division (Spark's / is always double).
+        "repetition_stats": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+bg AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+  FROM t, UNNEST(range(1, len(toks))) AS u(i)
+),
+cnt AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+top AS (SELECT doc_id, max(c) AS top FROM cnt GROUP BY doc_id)
+SELECT t.doc_id,
+       round(1.0 - len(list_distinct(toks))*1.0/len(toks), 6) AS dup_word_frac,
+       CAST(coalesce(top.top, 0) AS BIGINT) AS top_bigram_count,
+       round(coalesce(top.top, 0)*2.0/len(toks), 6) AS top_bigram_frac
+FROM t LEFT JOIN top USING (doc_id)
+""",
+        # the SAME deterministic injection expression as _pii_enriched,
+        # then the SAME patterns under RE2 ('g' flag on replace) —
+        # length() is chars on both engines (zh docs are multi-byte)
+        "pii_scan": f"""
+WITH e AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' host 10.' || CAST(doc_id % 200 AS VARCHAR)
+                      || '.3.' || CAST((doc_id * 3) % 250 AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' call +1-555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                 ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{PII_IPV4}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(t, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(length(regexp_replace(regexp_replace(regexp_replace(
+            t, '{PII_EMAIL}', '<PII>', 'g'),
+               '{PII_IPV4}', '<PII>', 'g'),
+               '{PII_PHONE}', '<PII>', 'g')) AS BIGINT) AS redacted_len
+FROM e
+""",
+        # DuckDB md5(VARCHAR) == Spark md5(cast-to-binary of the same
+        # string): lowercase hex of the UTF-8 bytes. The id tie-break
+        # mirrors the engine's within-bucket sort key.
+        "deterministic_shuffle": """
+SELECT doc_id,
+       md5('seed-0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+       CAST(row_number() OVER (
+              ORDER BY md5('seed-0:' || CAST(doc_id AS VARCHAR)), doc_id
+            ) - 1 AS BIGINT) AS shuffle_pos
 FROM documents
 """,
     }

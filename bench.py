@@ -50,6 +50,10 @@ HEADLINE = [
     "substring_containment",
     "doc_fingerprints",
     "token_counts",
+    "boilerplate_stats",
+    "repetition_stats",
+    "pii_scan",
+    "deterministic_shuffle",
 ]
 
 

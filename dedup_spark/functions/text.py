@@ -144,3 +144,40 @@ def fingerprint(text: Column) -> Column:
     equal fingerprints are normalization-equal duplicates (a cheaper,
     more forgiving tier than byte equality)."""
     return F.sha2(normalize_text(text), 256)
+
+
+# --- intra-document repetition (Gopher repetition filters) -----------
+#
+# Gopher (Rae et al., 2021, §A1.1) drops documents whose content is
+# dominated by internal repetition — duplicate lines, duplicate
+# n-grams — because repetition is the signature of spam, scraped
+# tables, and SEO keyword stuffing, and near-dup tiers can't see it
+# (a doc is never a near-duplicate of itself). Two of those signals
+# re-expressed as built-in expressions:
+
+
+def dup_word_fraction(text: Column) -> Column:
+    """Fraction of word tokens that are repeats of an earlier token:
+    1 - |distinct tokens| / |tokens| — array-local, zero shuffle, runs
+    at scan speed. 0.0 for empty/blank text."""
+    toks = _tokens(text)
+    return F.when(F.trim(text) == "", F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(toks)) / F.size(toks)
+    )
+
+
+def bigrams(text: Column) -> Column:
+    """Adjacent lowercased token bigrams as 'a b' strings (empty array
+    for docs with < 2 tokens). Built for explode→groupBy: the top-
+    bigram count needs a per-(doc, bigram) aggregation, which is a
+    combinable two-phase groupBy — an array-local O(L²) nested filter
+    would melt on long web documents, the shuffle version is linear."""
+    toks = _tokens(text)
+    n = F.size(toks)
+    idxs = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idxs,
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )

@@ -1,0 +1,122 @@
+"""Training-pipeline operators added in round 3: cross-doc boilerplate
+removal, intra-doc repetition stats, PII scan/redaction, deterministic
+global shuffle index."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from dedup_spark.functions import pii
+from dedup_spark.functions.text import bigrams, dup_word_fraction
+from dedup_spark.operators.boilerplate import boilerplate_stats
+from dedup_spark.operators.ordering import global_shuffle_index
+
+FOOTER = "all rights reserved inc"  # one 4-token boilerplate segment
+
+
+def test_boilerplate_stats_marks_shared_segments(spark):
+    rows = [
+        # docs 1 and 2 share the 4-token footer as their 2nd segment;
+        # doc 3 has no full shared segment; doc 4 is shorter than one
+        # segment (0 windows, all tokens kept)
+        (1, "alpha beta gamma delta " + FOOTER),
+        (2, "epsilon zeta eta theta " + FOOTER),
+        (3, "iota kappa lambda mu nu xi omicron pi"),
+        (4, "rho sigma tau"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_stats(df, seg_tokens=4, min_docs=2).collect()
+    }
+    assert out[1]["n_segments"] == 2 and out[1]["n_boilerplate"] == 1
+    assert out[1]["kept_tokens"] == 8 - 4
+    assert out[2]["n_boilerplate"] == 1
+    assert out[3]["n_segments"] == 2 and out[3]["n_boilerplate"] == 0
+    assert out[3]["kept_tokens"] == 8
+    assert out[4]["n_segments"] == 0 and out[4]["kept_tokens"] == 3
+
+
+def test_boilerplate_requires_distinct_docs(spark):
+    # the same segment twice in ONE doc is repetition, not boilerplate
+    df = spark.createDataFrame(
+        [(1, FOOTER + " " + FOOTER), (2, "unrelated words go here")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in boilerplate_stats(df).collect()}
+    assert out[1]["n_boilerplate"] == 0
+
+
+def test_dup_word_fraction_and_bigrams(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "w x y z"), (3, "")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            dup_word_fraction(F.col("text")).alias("f"),
+            bigrams(F.col("text")).alias("bg"),
+        ).collect()
+    }
+    assert abs(out[1]["f"] - (1 - 2 / 5)) < 1e-12
+    assert out[1]["bg"] == ["a b", "b a", "a b", "b a"]
+    assert out[2]["f"] == 0.0
+    assert out[3]["bg"] == []
+
+
+def test_pii_counts_and_redact(spark):
+    txt = (
+        "mail bob.smith+x@corp.example.org or 10.0.0.1 then "
+        "call +44-20-794600 end"
+    )
+    df = spark.createDataFrame([(txt,)], ["text"])
+    c = pii.pii_counts(F.col("text"))
+    row = df.select(
+        c["emails"].alias("e"),
+        c["ipv4"].alias("i"),
+        c["phones"].alias("p"),
+        pii.redact(F.col("text")).alias("r"),
+    ).first()
+    assert (row["e"], row["i"], row["p"]) == (1, 1, 1)
+    assert row["r"] == "mail <PII> or <PII> then call <PII> end"
+
+
+def test_pii_ipv4_word_boundary(spark):
+    # \b blocks matches glued to alphanumerics; the documented RE2-
+    # dialect over-match on longer dotted runs still counts (recall-
+    # first — see functions/pii.py docstring)
+    df = spark.createDataFrame(
+        [("v10.2.3.4 w",), ("run 1.2.3.4.5 w",), ("ip 1.2.3.4 ok",)], ["text"]
+    )
+    out = df.select(
+        pii.pii_counts(F.col("text"))["ipv4"].alias("n")
+    ).collect()
+    assert [r["n"] for r in out] == [0, 1, 1]
+
+
+def test_global_shuffle_index_matches_serial_md5_order(spark):
+    ids = list(range(200))
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    got = {
+        r["doc_id"]: (r["shuffle_key"], r["shuffle_pos"])
+        for r in global_shuffle_index(df, seed="s1").collect()
+    }
+    want = sorted(
+        ids, key=lambda i: (hashlib.md5(f"s1:{i}".encode()).hexdigest(), i)
+    )
+    assert sorted(p for _, p in got.values()) == list(range(len(ids)))
+    for pos, i in enumerate(want):
+        assert got[i][1] == pos
+        assert got[i][0] == hashlib.md5(f"s1:{i}".encode()).hexdigest()
+
+
+def test_global_shuffle_index_partition_invariant(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], ["doc_id"])
+    a = global_shuffle_index(df.repartition(1), seed="s2").collect()
+    b = global_shuffle_index(df.repartition(7), seed="s2").collect()
+    assert {(r["doc_id"], r["shuffle_pos"]) for r in a} == {
+        (r["doc_id"], r["shuffle_pos"]) for r in b
+    }
