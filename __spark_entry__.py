@@ -1692,6 +1692,71 @@ def q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "shuffle_key", F.col("shuffle_pos"))
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality-stratified sampling (operators/assembly.py
+    — the C4/FineWeb quality-mixing recipe): bucket docs by the shared
+    composite quality score (same expression as text_stats), keep 100%
+    of high / 50% of mid / 10% of low via an md5-coin threshold. The
+    kept SET is a pure function of (seed, ids) — the oracle recomputes
+    every coin and keep decision as a string compare."""
+    from dedup_spark.operators.assembly import stratified_sample
+
+    q = TX.quality_score(F.col("text"))
+    docs = _docs(spark, sf_dir).withColumn(
+        "bucket",
+        F.when(q >= 0.8, F.lit("high"))
+        .when(q >= 0.7, F.lit("mid"))
+        .otherwise(F.lit("low")),
+    )
+    return stratified_sample(
+        docs,
+        stratum_col="bucket",
+        rates={"high": 1.0, "mid": 0.5, "low": 0.1},
+        id_col="doc_id",
+        seed="sample-0",
+    ).select("doc_id", "bucket", "sample_hex", "sampled")
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing plan (operators/assembly.py):
+    every doc's token interval in the seeded-shuffle concatenated
+    stream, cut into 512-token training blocks. The exclusive prefix
+    sum runs as the two-pass bucketed scan (ordering.py) — the oracle
+    is the single-window SQL the distributed version must equal
+    exactly. Same construction-time note as deterministic_shuffle
+    (one 256-row bucket collect)."""
+    from dedup_spark.operators.assembly import pack_sequences
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", TX.token_count(F.col("text")).alias("toks")
+    )
+    return pack_sequences(
+        docs, token_col="toks", budget=512, id_col="doc_id", seed="seed-0"
+    ).select(
+        "doc_id",
+        F.col("toks").cast("long").alias("toks"),
+        "token_offset",
+        "block_start",
+        "block_end",
+        "n_blocks",
+    )
+
+
+def q_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing weights (alpha=0.5, the
+    multilingual-rebalancing rule): per-source token totals, natural
+    share, and w_s ∝ share^alpha — one combinable aggregation plus two
+    broadcast scalars, never a wide shuffle."""
+    from dedup_spark.operators.assembly import source_mixing_weights
+
+    return source_mixing_weights(
+        _docs(spark, sf_dir),
+        source_col="source",
+        token_count=TX.token_count(F.col("text")),
+        alpha=0.5,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: near-duplicate clustering of sf0.001 documents —
     MinHash-LSH candidates → exact-Jaccard verify → connected
@@ -1756,6 +1821,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "pii_scan": q_pii_scan,
         "deterministic_shuffle": q_deterministic_shuffle,
+        "stratified_sample": q_stratified_sample,
+        "sequence_packing": q_sequence_packing,
+        "source_mixing": q_source_mixing,
     }
 
 
@@ -2608,6 +2676,69 @@ SELECT doc_id,
                '{PII_IPV4}', '<PII>', 'g'),
                '{PII_PHONE}', '<PII>', 'g')) AS BIGINT) AS redacted_len
 FROM e
+""",
+        # the md5-coin keep decision is a fixed-width lowercase-hex
+        # string compare — portable verbatim; thresholds: 1.0→'g'
+        # (sentinel above any hex), 0.5→'80000000', 0.1→'1999999a'
+        "stratified_sample": f"""
+WITH q AS (
+  SELECT doc_id, {quality_expr} AS quality,
+         substr(md5('sample-0:' || CAST(doc_id AS VARCHAR)), 1, 8) AS sample_hex
+  FROM documents
+),
+b AS (
+  SELECT doc_id, sample_hex,
+         CASE WHEN quality >= 0.8 THEN 'high'
+              WHEN quality >= 0.7 THEN 'mid'
+              ELSE 'low' END AS bucket
+  FROM q
+)
+SELECT doc_id, bucket, sample_hex,
+       sample_hex < CASE bucket WHEN 'high' THEN 'g'
+                                WHEN 'mid' THEN '80000000'
+                                ELSE '1999999a' END AS sampled
+FROM b
+""",
+        # the single-window exclusive prefix sum the two-pass bucketed
+        # scan must equal row-for-row; blocks are integer floor-divides
+        # of exact BIGINTs, so parity is integer-exact
+        "sequence_packing": f"""
+WITH t AS (
+  SELECT doc_id, CAST({toks_nonempty} AS BIGINT) AS toks,
+         md5('seed-0:' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+),
+c AS (
+  SELECT doc_id, toks,
+         CAST(coalesce(sum(toks) OVER (
+           ORDER BY k, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS token_offset
+  FROM t
+)
+SELECT doc_id, toks, token_offset,
+       CAST(token_offset // 512 AS BIGINT) AS block_start,
+       CAST(CASE WHEN toks > 0 THEN (token_offset + toks - 1) // 512
+                 ELSE token_offset // 512 - 1 END AS BIGINT) AS block_end,
+       CAST(CASE WHEN toks > 0
+                 THEN (token_offset + toks - 1) // 512 - token_offset // 512 + 1
+                 ELSE 0 END AS BIGINT) AS n_blocks
+FROM c
+""",
+        # share = BIGINT/BIGINT (one IEEE division, bit-identical);
+        # pow/sum accumulate, so share and mix_weight are round-6 on
+        # both sides (accumulated-float parity rule)
+        "source_mixing": f"""
+WITH per AS (
+  SELECT source, CAST(sum({toks_nonempty}) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(tokens) AS t FROM per),
+sh AS (SELECT source, tokens, tokens * 1.0 / t AS share FROM per, tot),
+z AS (SELECT sum(pow(share, 0.5)) AS z FROM sh)
+SELECT source, tokens, round(share, 6) AS share,
+       round(pow(share, 0.5) / z, 6) AS mix_weight
+FROM sh, z
 """,
         # DuckDB md5(VARCHAR) == Spark md5(cast-to-binary of the same
         # string): lowercase hex of the UTF-8 bytes. The id tie-break

@@ -54,6 +54,9 @@ HEADLINE = [
     "repetition_stats",
     "pii_scan",
     "deterministic_shuffle",
+    "stratified_sample",
+    "sequence_packing",
+    "source_mixing",
 ]
 
 

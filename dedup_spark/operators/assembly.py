@@ -1,0 +1,147 @@
+"""Dataset assembly — the last mile between a deduplicated corpus and
+a training run: deterministic stratified sampling, concat-and-chunk
+sequence packing, and temperature-scaled source mixing.
+
+These are the operations a 100 TB pipeline runs AFTER dedup/filtering
+(the operators the rest of this engine provides) to emit the actual
+training mixture:
+
+  * ``stratified_sample`` — keep documents with a per-stratum rate
+    (e.g. 100% of high-quality, 10% of low-quality — the C4/FineWeb
+    quality-mixing recipe). The coin flip is ``md5(seed || id)``, not
+    ``rand()``: reruns, task retries, and resumed jobs all keep the
+    SAME rows, and the decision is auditable per document. Comparing
+    a fixed-width lowercase-hex prefix against a hex threshold literal
+    is a pure string comparison, so any engine reproduces it — that is
+    what the DuckDB oracle does.
+  * ``pack_sequences`` — GPT-style concat-and-chunk: lay all documents
+    end-to-end in the seeded shuffle order and cut every ``budget``
+    tokens. Each document's placement is a pure function of the
+    EXCLUSIVE prefix sum of token counts over that order, which
+    ``ordering.global_running_total`` computes distributed (two-pass
+    bucketed scan — no single-partition window). Emits each doc's
+    start/end block and span; a doc longer than the budget simply
+    spans several blocks, exactly like the real packer.
+  * ``source_mixing_weights`` — per-source token shares and
+    temperature-scaled sampling weights w_s ∝ share_s^alpha (the
+    multilingual/multi-domain rebalancing rule from GPT-3/XLM-R-style
+    training; alpha<1 upweights small sources). One combinable
+    aggregation plus a broadcast of the 1-row total — never a wide
+    shuffle.
+
+All built-in expressions; the only Spark actions are the tiny bucket
+collects inside the prefix-sum pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from dedup_spark.operators.ordering import global_running_total, shuffle_key
+
+
+def sample_u32_hex(id_col: Column, seed: str) -> Column:
+    """First 8 hex chars of md5(seed || ':' || id) — a uniform u32 in
+    hex. Fixed-width lowercase hex compares lexicographically exactly
+    like the number it encodes, so 'keep iff hex < threshold_hex' is
+    portable to any engine without integer parsing."""
+    return F.substring(shuffle_key(id_col, seed), 1, 8)
+
+
+def rate_threshold_hex(rate: float) -> str:
+    """8-hex-char threshold: keep iff u32_hex < this. rate=1.0 maps to
+    the max sentinel 'ffffffff' + 1 semantics via 'g' (any hex char
+    < 'g', so everything keeps) — avoids a 9-char literal."""
+    if rate >= 1.0:
+        return "g"
+    return format(int(rate * (1 << 32)), "08x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    seed: str = "sample-0",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Add ``sample_hex`` (the u32 coin in hex) and ``sampled`` (bool)
+    — deterministic per-stratum Bernoulli keep. The expected kept
+    fraction per stratum is its rate ±2^-32; the EXACT kept set is
+    reproducible from (seed, ids) alone."""
+    coin = sample_u32_hex(F.col(id_col), seed)
+    thr = F.lit(rate_threshold_hex(default_rate))
+    for name, rate in rates.items():
+        thr = F.when(
+            F.col(stratum_col) == name, F.lit(rate_threshold_hex(rate))
+        ).otherwise(thr)
+    return df.withColumn("sample_hex", coin).withColumn(
+        "sampled", F.col("sample_hex") < thr
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    seed: str = "seed-0",
+) -> DataFrame:
+    """Concat-and-chunk packing plan: in the seeded shuffle order, doc
+    i occupies token interval [offset_i, offset_i + tokens_i) of the
+    concatenated stream; training block b is tokens [b*budget,
+    (b+1)*budget). Emits::
+
+        token_offset  exclusive prefix sum (BIGINT)
+        block_start   floor(offset / budget)
+        block_end     floor((offset + tokens - 1) / budget)
+        n_blocks      blocks the doc touches (1 unless it crosses a cut)
+
+    Zero-token docs (empty text) get n_blocks=0 and block_end =
+    block_start - 1: they occupy no interval."""
+    run = global_running_total(
+        df, value_col=token_col, id_col=id_col, seed=seed, out_col="token_offset"
+    )
+    tok = F.col(token_col).cast("long")
+    start = F.floor(F.col("token_offset") / budget).cast("long")
+    end = F.floor((F.col("token_offset") + tok - 1) / budget).cast("long")
+    return (
+        run.withColumn("block_start", start)
+        .withColumn("block_end", F.when(tok > 0, end).otherwise(start - 1))
+        .withColumn(
+            "n_blocks",
+            F.when(tok > 0, F.col("block_end") - F.col("block_start") + 1)
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+    )
+
+
+def source_mixing_weights(
+    df: DataFrame,
+    source_col: str,
+    token_count: Column,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-source token totals, natural share, and temperature-scaled
+    mixing weight w_s = share_s^alpha / sum(share_s^alpha). Shares and
+    weights rounded to 6 dp (accumulated-float parity rule)."""
+    per = df.groupBy(source_col).agg(
+        F.sum(token_count.cast("long")).alias("tokens")
+    )
+    tot = per.agg(
+        F.sum("tokens").alias("_tot"),
+    )
+    shared = per.crossJoin(F.broadcast(tot)).withColumn(
+        "share", F.col("tokens") / F.col("_tot")
+    )
+    zsum = shared.agg(F.sum(F.pow("share", alpha)).alias("_z"))
+    return (
+        shared.crossJoin(F.broadcast(zsum))
+        .select(
+            source_col,
+            F.col("tokens").cast("long").alias("tokens"),
+            F.round("share", 6).alias("share"),
+            F.round(F.pow("share", alpha) / F.col("_z"), 6).alias("mix_weight"),
+        )
+    )

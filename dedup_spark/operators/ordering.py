@@ -51,6 +51,62 @@ def shuffle_key(id_col: Column, seed: str) -> Column:
     )
 
 
+def _bucketed_scan(
+    df: DataFrame,
+    id_col: str,
+    seed: str,
+    bucket_bytes: int,
+    value: Column,
+    out_col: str,
+) -> DataFrame:
+    """Shared two-pass engine: EXCLUSIVE running total of ``value``
+    over the seeded md5 order, written to ``out_col``. Pass value=1
+    and you get the dense 0-based rank (prefix COUNT); pass a token
+    count and you get the prefix SUM a concat-and-chunk packer needs.
+
+    Pass 1 aggregates ``value`` per key-prefix bucket (combinable, one
+    tiny collect); the driver prefix-sums n_buckets numbers; pass 2
+    broadcast-joins the offsets back and runs the per-bucket window —
+    n_buckets parallel sorts, never a global-order window."""
+    n_buckets = 1 << (8 * bucket_bytes)
+    keyed = (
+        df.withColumn("shuffle_key", shuffle_key(F.col(id_col), seed))
+        .withColumn("_val", value.cast("long"))
+        .withColumn(
+            "_bkt",
+            F.conv(F.substring("shuffle_key", 1, 2 * bucket_bytes), 16, 10).cast(
+                "int"
+            ),
+        )
+    )
+    totals = {
+        r["_bkt"]: r["s"]
+        for r in keyed.groupBy("_bkt").agg(F.sum("_val").alias("s")).collect()
+    }
+    offsets, acc = [], 0
+    for b in range(n_buckets):
+        offsets.append((b, acc))
+        acc += totals.get(b, 0)
+    # broadcast-join the offsets back (n_buckets rows — tiny at any
+    # bucket width, unlike an n_buckets-element array literal)
+    off = F.broadcast(
+        df.sparkSession.createDataFrame(offsets, schema="_bkt int, _off long")
+    )
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy("shuffle_key", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        keyed.join(off, on="_bkt", how="inner")
+        .withColumn(
+            out_col,
+            (F.sum("_val").over(w) - F.col("_val") + F.col("_off")).cast("long"),
+        )
+        .drop("_bkt", "_off", "_val")
+    )
+
+
 def global_shuffle_index(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -61,30 +117,24 @@ def global_shuffle_index(
     BIGINT position in the seeded order) to ``df`` — two-pass bucketed
     ranking, no single-partition window. One driver action (the
     256-row bucket-count collect) per call."""
-    n_buckets = 1 << (8 * bucket_bytes)
-    key = shuffle_key(F.col(id_col), seed)
-    keyed = df.withColumn("shuffle_key", key).withColumn(
-        "_bkt", F.conv(F.substring("shuffle_key", 1, 2 * bucket_bytes), 16, 10).cast("int")
+    return _bucketed_scan(
+        df, id_col, seed, bucket_bytes, F.lit(1), "shuffle_pos"
     )
-    counts = {
-        r["_bkt"]: r["n"]
-        for r in keyed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    offsets, acc = [], 0
-    for b in range(n_buckets):
-        offsets.append((b, acc))
-        acc += counts.get(b, 0)
-    # broadcast-join the offsets back (n_buckets rows — tiny at any
-    # bucket width, unlike an n_buckets-element array literal)
-    off = F.broadcast(
-        df.sparkSession.createDataFrame(offsets, schema="_bkt int, _off long")
-    )
-    w = Window.partitionBy("_bkt").orderBy("shuffle_key", id_col)
-    return (
-        keyed.join(off, on="_bkt", how="inner")
-        .withColumn(
-            "shuffle_pos",
-            (F.row_number().over(w) - 1 + F.col("_off")).cast("long"),
-        )
-        .drop("_bkt", "_off")
+
+
+def global_running_total(
+    df: DataFrame,
+    value_col: str,
+    id_col: str = "doc_id",
+    seed: str = "seed-0",
+    bucket_bytes: int = 1,
+    out_col: str = "running_total",
+) -> DataFrame:
+    """EXCLUSIVE prefix sum of ``value_col`` over the seeded shuffle
+    order (row i gets the sum of all values strictly before it). The
+    building block for concat-and-chunk sequence packing: a document
+    whose predecessors total T tokens starts at global token offset T,
+    regardless of how many executors computed the prefix."""
+    return _bucketed_scan(
+        df, id_col, seed, bucket_bytes, F.col(value_col), out_col
     )

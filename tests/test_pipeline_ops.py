@@ -120,3 +120,76 @@ def test_global_shuffle_index_partition_invariant(spark):
     assert {(r["doc_id"], r["shuffle_pos"]) for r in a} == {
         (r["doc_id"], r["shuffle_pos"]) for r in b
     }
+
+
+# --- dataset assembly (operators/assembly.py) ------------------------
+
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    from dedup_spark.operators.assembly import (
+        rate_threshold_hex,
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "keep" if i % 2 else "drop") for i in range(2000)],
+        ["doc_id", "bucket"],
+    )
+    out = stratified_sample(
+        df, "bucket", {"keep": 1.0, "drop": 0.0}, seed="t"
+    ).collect()
+    kept = {r["doc_id"] for r in out if r["sampled"]}
+    assert kept == {i for i in range(2000) if i % 2}
+    # ~50% rate lands near 50% (md5 uniformity; 2000 coins, +/-5%)
+    half = stratified_sample(df, "bucket", {"keep": 0.5, "drop": 0.5}, seed="t")
+    n = half.filter("sampled").count()
+    assert 900 <= n <= 1100
+    # rerun is bit-identical
+    again = {
+        r["doc_id"]
+        for r in stratified_sample(
+            df, "bucket", {"keep": 0.5, "drop": 0.5}, seed="t"
+        ).collect()
+        if r["sampled"]
+    }
+    assert again == {r["doc_id"] for r in half.filter("sampled").collect()}
+    assert rate_threshold_hex(1.0) == "g"
+    assert rate_threshold_hex(0.5) == "80000000"
+
+
+def test_pack_sequences_matches_serial_packer(spark):
+    import hashlib
+
+    from dedup_spark.operators.assembly import pack_sequences
+
+    rows = [(i, (i * 7) % 40) for i in range(300)]  # includes 0-token docs
+    df = spark.createDataFrame(rows, ["doc_id", "toks"])
+    got = {
+        r["doc_id"]: (r["token_offset"], r["block_start"], r["block_end"], r["n_blocks"])
+        for r in pack_sequences(df, "toks", budget=64, seed="p").collect()
+    }
+    order = sorted(rows, key=lambda r: (hashlib.md5(f"p:{r[0]}".encode()).hexdigest(), r[0]))
+    off = 0
+    for i, t in order:
+        bs = off // 64
+        be = (off + t - 1) // 64 if t > 0 else bs - 1
+        nb = be - bs + 1 if t > 0 else 0
+        assert got[i] == (off, bs, be, nb), i
+        off += t
+
+
+def test_source_mixing_weights_sum_to_one(spark):
+    from pyspark.sql import functions as F2
+
+    from dedup_spark.operators.assembly import source_mixing_weights
+
+    df = spark.createDataFrame(
+        [("a", 90), ("a", 10), ("b", 25), ("c", 1)], ["src", "n"]
+    )
+    out = {r["src"]: r for r in source_mixing_weights(df, "src", F2.col("n"), 0.5).collect()}
+    assert out["a"]["tokens"] == 100
+    tot = sum(r["mix_weight"] for r in out.values())
+    assert abs(tot - 1.0) < 1e-5
+    # alpha=0.5 upweights the small source vs its natural share
+    assert out["c"]["mix_weight"] > out["c"]["share"]
+    assert out["a"]["mix_weight"] < out["a"]["share"]
