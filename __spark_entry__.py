@@ -1742,6 +1742,62 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUSED text-side end-to-end pipeline — the LLM-training analog of
+    multimodal_dedup_pipeline, one oracle-gated artifact for the whole
+    corpus→mixture path:
+
+      1. near-dup clusters (exact-Jaccard inverted index → CC),
+      2. keep the highest-quality member per cluster
+         (quality_dedup_keep semantics),
+      3. quality-stratified deterministic sampling of the keepers
+         (100%/50%/10% by bucket, md5 coin),
+      4. concat-and-chunk packing of the survivors in the seeded
+         shuffle order (512-token blocks).
+
+    The oracle recomputes ALL four stages in SQL: recursive-CTE
+    closure, window argmax, hex-coin sampling, single-window prefix
+    sum. Every stage reuses the exact operator the standalone query
+    gates, so a drift in any tier fails BOTH artifacts."""
+    from dedup_spark.operators.assembly import pack_sequences, stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    kept = (
+        q_quality_dedup_keep(spark, sf_dir)
+        .filter(F.col("keep"))
+        .join(docs, on="doc_id")
+        .withColumn(
+            "bucket",
+            F.when(F.col("quality") >= 0.8, F.lit("high"))
+            .when(F.col("quality") >= 0.7, F.lit("mid"))
+            .otherwise(F.lit("low")),
+        )
+    )
+    sampled = stratified_sample(
+        kept,
+        stratum_col="bucket",
+        rates={"high": 1.0, "mid": 0.5, "low": 0.1},
+        id_col="doc_id",
+        seed="sample-0",
+    ).filter(F.col("sampled"))
+    packed = pack_sequences(
+        sampled.withColumn("toks", TX.token_count(F.col("text"))),
+        token_col="toks",
+        budget=512,
+        id_col="doc_id",
+        seed="seed-0",
+    )
+    return packed.select(
+        "doc_id",
+        "cluster_id",
+        "quality",
+        "bucket",
+        F.col("toks").cast("long").alias("toks"),
+        "token_offset",
+        F.floor(F.col("token_offset") / 512).cast("long").alias("block_start"),
+    )
+
+
 def q_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source mixing weights (alpha=0.5, the
     multilingual-rebalancing rule): per-source token totals, natural
@@ -1824,6 +1880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "sequence_packing": q_sequence_packing,
         "source_mixing": q_source_mixing,
+        "training_mixture": q_training_mixture,
     }
 
 
@@ -2724,6 +2781,67 @@ SELECT doc_id, toks, token_offset,
                  THEN (token_offset + toks - 1) // 512 - token_offset // 512 + 1
                  ELSE 0 END AS BIGINT) AS n_blocks
 FROM c
+""",
+        # end-to-end text pipeline: the quality_dedup_keep CTE chain
+        # (capped pairs → recursive closure → window argmax), then the
+        # hex-coin sample, then the single-window prefix sum — all four
+        # stages recomputed in one SQL statement
+        "training_mixture": _ORACLE_SHINGLE_PAIRS_CAPPED.replace(
+            "WITH t AS", "WITH RECURSIVE t AS", 1
+        )
+        + f""",
+e AS (
+  SELECT id1 AS a, id2 AS b FROM scored
+  WHERE inter / (n1 + n2 - inter) >= {JACCARD_T}
+),
+sym AS (
+  SELECT a, b FROM e UNION SELECT b, a FROM e
+  UNION SELECT a, a FROM e UNION SELECT b, b FROM e
+),
+reach(src, dst) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.src, y.b FROM reach r JOIN sym y ON r.dst = y.a
+),
+cl AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+asg AS (
+  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+         {quality_expr} AS quality,
+         CAST({toks_nonempty} AS BIGINT) AS toks
+  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+),
+k AS (
+  SELECT doc_id, cluster_id, quality, toks,
+         row_number() OVER (PARTITION BY cluster_id
+              ORDER BY quality DESC, doc_id) = 1 AS keep
+  FROM asg
+),
+s AS (
+  SELECT doc_id, cluster_id, quality, toks,
+         CASE WHEN quality >= 0.8 THEN 'high'
+              WHEN quality >= 0.7 THEN 'mid'
+              ELSE 'low' END AS bucket,
+         substr(md5('sample-0:' || CAST(doc_id AS VARCHAR)), 1, 8) AS coin,
+         md5('seed-0:' || CAST(doc_id AS VARCHAR)) AS skey
+  FROM k WHERE keep
+),
+f AS (
+  SELECT * FROM s
+  WHERE coin < CASE bucket WHEN 'high' THEN 'g'
+                           WHEN 'mid' THEN '80000000'
+                           ELSE '1999999a' END
+),
+p AS (
+  SELECT doc_id, cluster_id, quality, bucket, toks,
+         CAST(coalesce(sum(toks) OVER (
+           ORDER BY skey, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS token_offset
+  FROM f
+)
+SELECT doc_id, cluster_id, quality, bucket, toks, token_offset,
+       CAST(token_offset // 512 AS BIGINT) AS block_start
+FROM p
 """,
         # share = BIGINT/BIGINT (one IEEE division, bit-identical);
         # pow/sum accumulate, so share and mix_weight are round-6 on

@@ -57,6 +57,7 @@ HEADLINE = [
     "stratified_sample",
     "sequence_packing",
     "source_mixing",
+    "training_mixture",
 ]
 
 
