@@ -18,7 +18,7 @@ def test_every_query_has_an_oracle():
         "queries without oracle: %s; oracles without query: %s"
         % (sorted(set(qs) - set(oracles)), sorted(set(oracles) - set(qs)))
     )
-    assert len(qs) >= 46
+    assert len(qs) >= 54
 
 
 def test_queries_are_callables_and_oracles_are_sql():

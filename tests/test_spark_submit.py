@@ -90,3 +90,55 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
     stages = {e["stage"] for e in manifest}
     assert any("exact" in s or "stage" in s or "cc" in s for s in stages), stages
     assert all("run_id" in e for e in manifest)
+
+
+def test_spark_submit_mixture_job_end_to_end(tmp_path):
+    """The text-side companion job (jobs/mixture_job.py) through the
+    same cluster deployment path; the packing contract is checked from
+    OUTSIDE Spark: sorted by token_offset, the kept docs tile the
+    concatenated token stream exactly (offset_i+1 = offset_i + toks_i),
+    and the mixing weights sum to 1."""
+    in_dir = "/root/testdata/sf0.001/documents.parquet"
+    out_dir = tmp_path / "mix"
+    zpath = _zip_package(tmp_path)
+
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["PYSPARK_PYTHON"] = sys.executable
+    proc = subprocess.run(
+        [
+            SPARK_SUBMIT,
+            "--master", "local[2]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", str(zpath),
+            str(REPO / "jobs" / "mixture_job.py"),
+            "--input", in_dir,
+            "--output", str(out_dir),
+            "--budget", "256",
+            "--seed", "submit-test",
+        ],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    summary = json.loads(
+        [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    rows = duckdb.sql(
+        f"SELECT toks, token_offset FROM '{out_dir}/mixture/*.parquet' "
+        "ORDER BY token_offset"
+    ).fetchall()
+    assert rows and len(rows) == summary["docs_packed"]
+    off = 0
+    for toks, token_offset in rows:
+        assert token_offset == off
+        off += toks
+    assert off == summary["total_tokens"]
+    w = duckdb.sql(
+        f"SELECT sum(mix_weight) FROM '{out_dir}/source_mixing/*.parquet'"
+    ).fetchone()[0]
+    assert abs(w - 1.0) < 1e-4

@@ -43,6 +43,15 @@ TEXT_QUERIES = [
     "simhash_text_pairs",
     "substring_containment",
     "doc_fingerprints",
+    # round-3 pipeline + assembly tiers (documents-table too)
+    "boilerplate_stats",
+    "repetition_stats",
+    "pii_scan",
+    "deterministic_shuffle",
+    "stratified_sample",
+    "sequence_packing",
+    "source_mixing",
+    "training_mixture",
 ]
 
 
