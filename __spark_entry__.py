@@ -1903,7 +1903,17 @@ def oracle_sql() -> dict[str, str]:
         )
 
     from dedup_spark.fixtures.materialize import fixture_images_parquet
+    from dedup_spark.operators.assembly import rate_threshold_hex
     from dedup_spark.operators.suffix import gram_multipliers
+
+    # stratified-sample keep thresholds: generated from the engine's own
+    # rate_threshold_hex() so oracle and engine can never disagree on a
+    # 2^-32 coin boundary (rates pinned by q_stratified_sample)
+    sample_thr_case = (
+        f"CASE bucket WHEN 'high' THEN '{rate_threshold_hex(1.0)}'\n"
+        f"            WHEN 'mid' THEN '{rate_threshold_hex(0.5)}'\n"
+        f"            ELSE '{rate_threshold_hex(0.1)}' END"
+    )
 
     # materializing here guarantees the file exists before DuckDB runs,
     # regardless of whether the driver executes SQL before Spark
@@ -2641,7 +2651,8 @@ e AS (SELECT audio_id, any_value(n_win) AS n_win, k // 256 AS w,
       FROM sv GROUP BY audio_id, k // 256),
 b AS (SELECT a.audio_id, a.w,
              CASE WHEN a.energy > p.energy THEN 1 ELSE 0 END AS bit
-      FROM e a JOIN e p ON p.audio_id = a.audio_id AND p.w = a.w - 1),
+      FROM e a JOIN e p ON p.audio_id = a.audio_id AND p.w = a.w - 1
+      WHERE a.w <= 64),
 fp AS (SELECT b.audio_id, any_value(e2.n_win) AS n_win,
               CAST(sum(bit * (1::BIGINT << (w - 1))) AS BIGINT) AS fingerprint
        FROM b JOIN (SELECT audio_id, any_value(n_win) AS n_win
@@ -2735,8 +2746,10 @@ SELECT doc_id,
 FROM e
 """,
         # the md5-coin keep decision is a fixed-width lowercase-hex
-        # string compare — portable verbatim; thresholds: 1.0→'g'
-        # (sentinel above any hex), 0.5→'80000000', 0.1→'1999999a'
+        # string compare — portable verbatim; thresholds come from the
+        # SAME rate_threshold_hex() the engine uses (single source of
+        # truth: 1.0→'g' sentinel above any hex, 0.5→'80000000',
+        # 0.1→'19999999' = format(int(0.1*2**32),'08x'))
         "stratified_sample": f"""
 WITH q AS (
   SELECT doc_id, {quality_expr} AS quality,
@@ -2751,9 +2764,7 @@ b AS (
   FROM q
 )
 SELECT doc_id, bucket, sample_hex,
-       sample_hex < CASE bucket WHEN 'high' THEN 'g'
-                                WHEN 'mid' THEN '80000000'
-                                ELSE '1999999a' END AS sampled
+       sample_hex < {sample_thr_case} AS sampled
 FROM b
 """,
         # the single-window exclusive prefix sum the two-pass bucketed
@@ -2827,9 +2838,7 @@ s AS (
 ),
 f AS (
   SELECT * FROM s
-  WHERE coin < CASE bucket WHEN 'high' THEN 'g'
-                           WHEN 'mid' THEN '80000000'
-                           ELSE '1999999a' END
+  WHERE coin < {sample_thr_case}
 ),
 p AS (
   SELECT doc_id, cluster_id, quality, bucket, toks,

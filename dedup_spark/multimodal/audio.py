@@ -72,7 +72,14 @@ def audio_fingerprints(
                     continue
                 x = samples[: n_win * window].astype(np.int64)
                 e = (x * x).reshape(n_win, window).sum(axis=1)
-                bits = (np.diff(e) > 0).astype(np.int64)
+                # fingerprint only the first 64 deltas: int64 shifts
+                # >= 64 are undefined in numpy (alias mod 64 on x86),
+                # so longer clips would silently corrupt the key. The
+                # (n_windows, fingerprint) cluster key keeps the full
+                # window count, so clips of different lengths never
+                # collide even when their first-64 fingerprints match.
+                # The oracle mirrors the bound (w <= 64).
+                bits = (np.diff(e)[:64] > 0).astype(np.int64)
                 fp = int((bits << np.arange(bits.shape[0], dtype=np.int64)).sum())
                 out.append((aid, n_win, fp))
             yield pd.DataFrame(

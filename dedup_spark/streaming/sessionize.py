@@ -117,13 +117,22 @@ def sessionize(
 
         closed = []
         if open_sess is not None:
-            if ts[0] - open_sess[1] <= gap_us:  # continues the open session
-                first = islands[0]
-                islands[0] = (
-                    open_sess[0], first[1], open_sess[2] + first[2]
-                )
-            else:
-                closed.append(tuple(open_sess))
+            # fold the open session into the batch islands as one more
+            # interval and re-merge: out-of-order events within the
+            # watermark may land BEFORE the open session (or bridge two
+            # batch islands through it), so session_end must never
+            # regress — interval min/max, not blind concatenation.
+            # Batch islands are mutually > gap apart, so only merges
+            # involving the open interval can chain.
+            merged: list[list[int]] = []
+            for s, e, n in sorted(islands + [tuple(open_sess)]):
+                if merged and s - merged[-1][1] <= gap_us:
+                    merged[-1][0] = min(merged[-1][0], s)
+                    merged[-1][1] = max(merged[-1][1], e)
+                    merged[-1][2] += n
+                else:
+                    merged.append([s, e, n])
+            islands = [tuple(x) for x in merged]
         closed.extend(islands[:-1])
         open_sess = islands[-1]
 

@@ -173,6 +173,41 @@ def test_audio_short_and_null_rows_skipped(spark):
     assert out[0]["n_windows"] == 2
 
 
+def test_audio_long_clip_fingerprint_bounded(spark):
+    """Clips longer than 65 windows must fingerprint ONLY the first 64
+    deltas: numpy int64 shifts >= 64 are undefined (alias mod 64 on
+    x86), so an unbounded pack would silently corrupt the key. Parity
+    target is a pure-Python big-int pack over deltas [0, 64) — defined
+    at any length — and two long clips that differ only after delta 64
+    share a fingerprint but still carry the true full n_windows."""
+    rng = np.random.default_rng(7)
+    w = AUDIO_WINDOW
+    a = rng.integers(-3000, 3000, size=100 * w, dtype=np.int64).astype("<i2")
+    b = a.copy()
+    b[70 * w:] = (a[70 * w:].astype(np.int64) * 3 // 4).astype("<i2")
+    rows = [
+        ("long_a", a.tobytes(), 16000, a.shape[0], "pcm16"),
+        ("long_b", b.tobytes(), 16000, b.shape[0], "pcm16"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "audio_id string, bytes binary, sample_rate int, n_samples int, fmt string",
+    )
+    got = {
+        r["audio_id"]: (r["n_windows"], r["fingerprint"])
+        for r in audio_fingerprints(df).collect()
+    }
+    x = a.astype(np.int64)
+    e = (x * x).reshape(100, w).sum(axis=1)
+    expected = sum(
+        1 << i for i, d in enumerate(np.diff(e)[:64]) if d > 0
+    )
+    if expected >= 1 << 63:  # signed int64 column, like the oracle BIGINT
+        expected -= 1 << 64
+    assert got["long_a"] == (100, expected)
+    assert got["long_b"] == (100, expected)  # differs only past delta 64
+
+
 def test_frame_size_constant_consistent():
     assert FRAME_SIZE == 8 * 8 * 3
     assert RAWV_HEADER == 12

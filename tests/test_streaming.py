@@ -246,6 +246,72 @@ def test_sessionize_stateful_gap_sessions(spark, tmp_path):
     ]
 
 
+def test_sessionize_out_of_order_within_watermark(spark, tmp_path):
+    """Cross-batch merge with OUT-OF-ORDER arrivals (allowed within the
+    watermark): a later batch may deliver events EARLIER than the open
+    session's current end. The merge must be interval min/max — the
+    session end must never regress (which would fire a premature
+    timeout and split the session) — and a late event may BRIDGE the
+    open session to a following island, chaining the merge.
+
+    gap 2h, watermark 10h (so the late rows are not watermark-dropped):
+    - user 10: batch 0 at 00:00 + 01:00 (open end = 01:00); batch 1
+      delivers only 00:30 — earlier than the open end. One session
+      (00:00, 01:00, 3), NOT a regressed/split pair.
+    - user 30: batch 0 at 00:00 + 05:00 (the 00:00 singleton closes
+      in-batch; open = 05:00); batch 1 delivers 03:30 and 06:30 —
+      two batch islands (3h apart > gap) that BOTH merge through the
+      open 05:00 interval → one session (03:30, 06:30, 3)."""
+    import os
+
+    from dedup_spark.streaming.sessionize import sessionize
+
+    schema = "user_id bigint, ts timestamp"
+    in_dir = str(tmp_path / "ooo_in")
+    os.makedirs(in_dir)
+    files = [
+        [(10, "2026-01-01 00:00:00"), (10, "2026-01-01 01:00:00"),
+         (30, "2026-01-01 00:00:00"), (30, "2026-01-01 05:00:00")],
+        # out-of-order continuations, all within the 10h watermark
+        [(10, "2026-01-01 00:30:00"),
+         (30, "2026-01-01 03:30:00"), (30, "2026-01-01 06:30:00")],
+        # sentinels: watermark (max_ts - 10h) must pass every
+        # last_event + gap (≤ 01-01 08:30)
+        [(-1, "2026-01-02 00:00:00")],
+        [(-1, "2026-01-02 01:00:00")],
+    ]
+    for i, rows in enumerate(files):
+        pdf = pd.DataFrame({"user_id": [r[0] for r in rows],
+                            "ts": pd.to_datetime([r[1] for r in rows])})
+        raw = str(tmp_path / f"oraw{i}")
+        spark.createDataFrame(pdf, schema=schema).coalesce(1).write.parquet(raw)
+        part = next(f for f in os.listdir(raw)
+                    if f.endswith(".parquet") and not f.startswith("."))
+        dst = f"{in_dir}/b{i}.parquet"
+        os.rename(os.path.join(raw, part), dst)
+        os.utime(dst, (1700000000 + 100 * i, 1700000000 + 100 * i))
+
+    out, ckpt = str(tmp_path / "ooo_out"), str(tmp_path / "ooo_ckpt")
+    replay_ordered_files(
+        spark, in_dir, schema,
+        lambda s: sessionize(s, gap="2 hours", delay="10 hours"),
+        out, ckpt,
+    )
+
+    def us(t):
+        return int(pd.Timestamp(t).value // 1_000)
+
+    got = sorted(
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [
+        (10, us("2026-01-01 00:00:00"), us("2026-01-01 01:00:00"), 3),
+        (30, us("2026-01-01 00:00:00"), us("2026-01-01 00:00:00"), 1),
+        (30, us("2026-01-01 03:30:00"), us("2026-01-01 06:30:00"), 3),
+    ]
+
+
 def test_fuzzy_incremental_dedup_with_cluster_merge(spark, tmp_path):
     """Streaming NEAR-dup tier (streaming/fuzzy.py), the hard case:
     doc 3 arrives in batch B and bridges docs 1 and 2 (which were
