@@ -623,15 +623,13 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the full rolling hash gram-by-gram in SQL (shared
     multiplier constants, HUGEINT mod-2^64 arithmetic), so the entire
     char-gram machinery is value-checked, not just its pair output."""
-    from dedup_spark.operators.suffix import char_gram_hashes_udf
+    from dedup_spark.operators.suffix import char_gram_min_udf
 
-    g = char_gram_hashes_udf(SUBSTR_K)
+    g = char_gram_min_udf(SUBSTR_K)
     return (
         _docs(spark, sf_dir)
         .filter(F.octet_length("text") >= SUBSTR_K)
-        .select(
-            "doc_id", F.element_at(g(F.col("text")), 1).alias("fingerprint")
-        )
+        .select("doc_id", g(F.col("text")).alias("fingerprint"))
     )
 
 
@@ -932,8 +930,14 @@ def q_simhash_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming self-join over the signatures — the oracle recomputes the
     FULL signature pipeline (FNV-1a token hashes → ±1 bit accumulation
     → majority sign) in SQL and compares pairs."""
-    df = _docs(spark, sf_dir).select(
-        "doc_id", simhash_text_udf()(F.col("text")).alias("sh")
+    df = (
+        _docs(spark, sf_dir)
+        .select("doc_id", simhash_text_udf()(F.col("text")).alias("sh"))
+        # the star guard consumes its input several times (stats, keyed
+        # join, both self-join sides); without this the signature UDF
+        # re-executes 3-5x per action — the r3 sf1 study's superlinear
+        # flag on this query was exactly that re-execution
+        .localCheckpoint(eager=False)
     )
     # pair-set-exact mode: the oracle asserts set equality with the
     # Hamming self-join, so the star guard gets 16x headroom over the
@@ -948,13 +952,17 @@ def q_simhash_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SUBSTR_K = 24  # min contained-doc bytes — one winnowing gram width
+SUBSTR_K = 24  # gram width of the substring anchor index
+WINNOW_W = 8  # winnow window (postings ~4x sparser; min contained
+#               doc = SUBSTR_K + WINNOW_W - 1 bytes, mirrored by the
+#               oracles' strlen bound)
 
 
 def q_substring_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact character-level substring pairs via the min-gram anchor
-    index (global recall for contained docs >= SUBSTR_K bytes; see
-    operators/suffix.py). id1 = contained doc, id2 = container.
+    """Exact character-level substring pairs via the WINNOWED min-gram
+    anchor index (global recall for contained docs >= SUBSTR_K +
+    WINNOW_W - 1 bytes; recall proof in operators/suffix.py). id1 =
+    contained doc, id2 = container.
 
     Exact-gate variant: the oracle is the UNCAPPED quadratic substring
     self-join, so the posting cap is off here (max_posting=None) —
@@ -962,7 +970,7 @@ def q_substring_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pipelines keep the default cap (4096, drops logged)."""
     return char_substring_pairs(
         _docs(spark, sf_dir), id_col="doc_id", text_col="text", k=SUBSTR_K,
-        max_posting=None, log_drops=False,
+        max_posting=None, log_drops=False, winnow_w=WINNOW_W,
     )
 
 
@@ -971,15 +979,15 @@ def q_caption_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     catches containment duplicates LSH misses' sentence, executed: the
     min-gram anchor index (operators/suffix.py — same provable-recall
     tier as substring_containment) over the image corpus CAPTIONS.
-    id1 = contained caption (>= SUBSTR_K bytes), id2 = container.
-    Exact-gate variant: uncapped, mirrored by the uncapped quadratic
-    position() oracle."""
+    id1 = contained caption (>= SUBSTR_K + WINNOW_W - 1 bytes), id2 =
+    container. Exact-gate variant: uncapped, mirrored by the uncapped
+    quadratic position() oracle."""
     imgs = _fixture_images(spark).select(
         F.col("image_id").alias("doc_id"), F.col("caption").alias("text")
     )
     return char_substring_pairs(
         imgs, id_col="doc_id", text_col="text", k=SUBSTR_K,
-        max_posting=None, log_drops=False,
+        max_posting=None, log_drops=False, winnow_w=WINNOW_W,
     )
 
 
@@ -1583,6 +1591,32 @@ def _fixture_audio(spark: SparkSession):
     return spark.read.parquet(fixture_audio_parquet())
 
 
+def q_avi_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-container video near-dup (multimodal/avi.py): MJPEG-in-AVI
+    parsed with a general RIFF walker, every sampled '00dc' frame
+    decoded by the from-scratch baseline JPEG decoder (an undecodable
+    frame is skipped, so decoder drift changes the signature set and
+    fails THIS gate), sig = md5 of the padded chunk's hex, then the
+    same inverted-index set-Jaccard pair stage as the rawv tier.
+    Catches exact copies, end-trims, and REMUXES (same JPEG chunks,
+    different container header).
+
+    Oracle independence: fixture chunks are padded to AVI_CHUNK, so
+    the movi layout has fixed strides and DuckDB recomputes every
+    signature from hex(bytes) with offset arithmetic over the writer-
+    asserted layout constants, reads n_frames out of the avih header
+    bytes, and applies the same RIFF/AVI magic check the walker does —
+    no trust in any fixture metadata column."""
+    from dedup_spark.multimodal.avi import avi_frame_signatures
+    from dedup_spark.multimodal.video import signature_set_pairs
+
+    from dedup_spark.fixtures.materialize import fixture_avi_parquet
+
+    df = spark.read.parquet(fixture_avi_parquet())
+    sigs = avi_frame_signatures(df, every_n=2)
+    return signature_set_pairs(sigs, threshold=0.5, max_posting=None)
+
+
 def q_boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document boilerplate removal (CCNet-style, see
     operators/boilerplate.py): non-overlapping 4-token segments shared
@@ -1871,6 +1905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crossformat_pixel_dedup": q_crossformat_pixel_dedup,
         "multimodal_dedup_pipeline": q_multimodal_dedup_pipeline,
         "video_frame_dedup": q_video_frame_dedup,
+        "avi_video_dedup": q_avi_video_dedup,
         "audio_fingerprint_dups": q_audio_fingerprint_dups,
         "sketch_stats": q_sketch_stats,
         "boilerplate_stats": q_boilerplate_stats,
@@ -1925,6 +1960,15 @@ def oracle_sql() -> dict[str, str]:
 
     vid_fixture = f"read_parquet('{fixture_videos_parquet()}')"
     aud_fixture = f"read_parquet('{fixture_audio_parquet()}')"
+    from dedup_spark.fixtures.materialize import fixture_avi_parquet
+    from dedup_spark.multimodal.avi import (
+        AVI_CHUNK,
+        AVI_HEADER_BYTES,
+        AVI_TOTALFRAMES_OFF,
+        MAX_AVI_FRAMES,
+    )
+
+    avi_fixture = f"read_parquet('{fixture_avi_parquet()}')"
     # 256-row hex-pair lookup: this DuckDB build cannot slice or hash
     # BLOBs, so the audio oracle reconstructs int16 samples from
     # hex(bytes) via substring + this VALUES join
@@ -2365,7 +2409,7 @@ FROM anchor
 SELECT a.doc_id AS id1, b.doc_id AS id2
 FROM documents a JOIN documents b ON a.doc_id <> b.doc_id
 WHERE a.text IS NOT NULL AND b.text IS NOT NULL
-  AND strlen(a.text) >= {SUBSTR_K}
+  AND strlen(a.text) >= {SUBSTR_K + WINNOW_W - 1}
   AND (strlen(a.text) < strlen(b.text)
        OR (strlen(a.text) = strlen(b.text) AND a.doc_id < b.doc_id))
   AND position(a.text IN b.text) > 0
@@ -2374,7 +2418,7 @@ WHERE a.text IS NOT NULL AND b.text IS NOT NULL
 SELECT a.image_id AS id1, b.image_id AS id2
 FROM {fixture} a JOIN {fixture} b ON a.image_id <> b.image_id
 WHERE a.caption IS NOT NULL AND b.caption IS NOT NULL
-  AND strlen(a.caption) >= {SUBSTR_K}
+  AND strlen(a.caption) >= {SUBSTR_K + WINNOW_W - 1}
   AND (strlen(a.caption) < strlen(b.caption)
        OR (strlen(a.caption) = strlen(b.caption)
            AND a.image_id < b.image_id))
@@ -2617,6 +2661,39 @@ f AS (
          md5(substring(hx, 24 + t.k*fsz*2 + 1, fsz*2)) AS sig
   FROM fx CROSS JOIN generate_series(0, 63) t(k)
   WHERE t.k < n_frames AND t.k % 4 = 0
+),
+sz AS (SELECT video_id, count(*) AS n FROM f GROUP BY video_id),
+i AS (SELECT a.video_id AS id1, b.video_id AS id2, count(*) AS ni
+      FROM f a JOIN f b ON a.sig = b.sig AND a.video_id < b.video_id
+      GROUP BY 1, 2)
+SELECT id1, id2, round(ni / (s1.n + s2.n - ni), 6) AS jaccard
+FROM i JOIN sz s1 ON s1.video_id = i.id1 JOIN sz s2 ON s2.video_id = i.id2
+WHERE round(ni / (s1.n + s2.n - ni), 6) >= 0.5
+""",
+        # real-container gate: signatures recomputed from the RAW AVI
+        # bytes — RIFF/'AVI ' magic check mirrors the walker's skip
+        # rule, n_frames is read out of the avih header byte, and each
+        # sampled '00dc' payload is sliced at the writer-asserted
+        # fixed-stride offsets (AVI_HEADER_BYTES / AVI_CHUNK) — no
+        # fixture-metadata trust anywhere
+        "avi_video_dedup": f"""
+WITH fx AS (
+  SELECT video_id, hex(bytes) AS hx FROM {avi_fixture}
+  WHERE substring(hex(bytes), 1, 8) = '52494646'
+    AND substring(hex(bytes), 17, 8) = '41564920'
+),
+hb(hh, v) AS (VALUES {hex_byte_values}),
+nf AS (
+  SELECT fx.video_id, fx.hx, hb.v AS n_frames
+  FROM fx JOIN hb ON hb.hh = substring(fx.hx, {2 * AVI_TOTALFRAMES_OFF} + 1, 2)
+),
+f AS (
+  SELECT DISTINCT video_id,
+         md5(substring(hx,
+             {2 * (AVI_HEADER_BYTES + 8)} + t.k * {2 * (AVI_CHUNK + 8)} + 1,
+             {2 * AVI_CHUNK})) AS sig
+  FROM nf CROSS JOIN generate_series(0, {MAX_AVI_FRAMES - 1}) t(k)
+  WHERE t.k < n_frames AND t.k % 2 = 0
 ),
 sz AS (SELECT video_id, count(*) AS n FROM f GROUP BY video_id),
 i AS (SELECT a.video_id AS id1, b.video_id AS id2, count(*) AS ni

@@ -260,3 +260,95 @@ def generate_audio_corpus(n_base: int = 50, seed: int = 42) -> AudioCorpus:
         rows, columns=["audio_id", "bytes", "sample_rate", "n_samples", "fmt"]
     )
     return AudioCorpus(audio=audio, dup_groups=groups)
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI (real container; multimodal/avi.py)
+# ---------------------------------------------------------------------------
+
+AVI_W, AVI_H = 16, 16
+
+
+@dataclass
+class AviCorpus:
+    videos: pd.DataFrame  # VIDEOS_SCHEMA columns (fmt = 'mjpeg-avi')
+    near_groups: list[list[str]]
+
+
+def _avi_jpeg_frames(vid: int, n_frames: int, quality: int = 85) -> list[bytes]:
+    """n deterministic baseline-JPEG frame payloads for base video
+    `vid` — encoded (and decode-asserted) with the from-scratch codec
+    so every fixture frame is decodable by construction."""
+    from dedup_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    out = []
+    for k in range(n_frames):
+        raw = _stream(b"avi:%d:%d" % (vid, k), AVI_W * AVI_H * 3)
+        px = np.frombuffer(raw, dtype=np.uint8).reshape(AVI_H, AVI_W, 3)
+        j = encode_jpeg(px, quality=quality)
+        decode_jpeg(j)  # the engine skips undecodable frames; the
+        # oracle can't — so the fixture must not contain any
+        out.append(j)
+    return out
+
+
+def generate_avi_corpus(
+    n_base: int = 30, every_n: int = 2, seed: int = 42
+) -> AviCorpus:
+    """Real-container corpus: exact copies, end-trims (shared sampled
+    frames drop below 100% but stay >= 50%), and REMUXES (same JPEG
+    chunks, different container header — the dedup must see through
+    the re-containerization), plus one corrupt row the parser (and the
+    oracle's magic check) must skip."""
+    from dedup_spark.multimodal.avi import MAX_AVI_FRAMES, encode_mjpeg_avi
+
+    rng = np.random.default_rng(seed)
+    rows: list[tuple] = []
+    groups: list[list[str]] = []
+
+    def add(vid_id: str, frames: list[bytes], fps: int = 25) -> None:
+        rows.append(
+            (
+                vid_id,
+                encode_mjpeg_avi(frames, AVI_W, AVI_H, fps=fps),
+                AVI_W,
+                AVI_H,
+                len(frames),
+                "mjpeg-avi",
+            )
+        )
+
+    for i in range(n_base):
+        n_frames = int(rng.integers(3, MAX_AVI_FRAMES // 2 + 1)) * every_n
+        assert n_frames <= MAX_AVI_FRAMES
+        frames = _avi_jpeg_frames(i, n_frames)
+        base_id = f"avi_{i:04d}.avi"
+        add(base_id, frames)
+        group = [base_id]
+        r = rng.random()
+        if r < 0.2:  # exact byte copy
+            dup_id = f"avi_{i:04d}_copy.avi"
+            add(dup_id, frames)
+            group.append(dup_id)
+        elif r < 0.4:  # remux: same chunks, different fps header
+            dup_id = f"avi_{i:04d}_remux.avi"
+            add(dup_id, frames, fps=30)
+            group.append(dup_id)
+        elif r < 0.6:  # end-trim by one stride (sampled overlap >= 50%)
+            if n_frames - every_n >= every_n * 2:
+                dup_id = f"avi_{i:04d}_trim.avi"
+                add(dup_id, frames[: n_frames - every_n])
+                group.append(dup_id)
+        if len(group) > 1:
+            groups.append(group)
+
+    # one malformed container: bad RIFF magic — the walker raises, the
+    # operator skips the row, the oracle's magic WHERE drops it
+    junk = bytearray(rows[0][1])
+    junk[:4] = b"JUNK"
+    rows.append(("avi_corrupt.avi", bytes(junk), AVI_W, AVI_H, 0, "mjpeg-avi"))
+
+    videos = pd.DataFrame(
+        rows, columns=["video_id", "bytes", "w", "h", "n_frames", "fmt"]
+    )
+    return AviCorpus(videos=videos, near_groups=groups)

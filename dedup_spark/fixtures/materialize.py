@@ -142,3 +142,33 @@ def fixture_audio_parquet(params: dict | None = None) -> str:
         names=["audio_id", "bytes", "sample_rate", "n_samples", "fmt"],
     )
     return _write_atomic(table, out_dir, path)
+
+
+AVI_PARAMS = dict(n_base=30, every_n=2, seed=42)
+
+
+def fixture_avi_parquet(params: dict | None = None) -> str:
+    """Pinned MJPEG-in-AVI corpus (fixtures/av.py generate_avi_corpus)
+    — the real-container video tier's golden file."""
+    import pyarrow as pa
+
+    from dedup_spark.fixtures.av import generate_avi_corpus
+
+    params = dict(AVI_PARAMS if params is None else params)
+    out_dir = os.path.join(FIXTURE_ROOT, "avi_" + _params_tag(params))
+    path = os.path.join(out_dir, "avi.parquet")
+    if os.path.exists(path):
+        return path
+    pdf = generate_avi_corpus(**params).videos
+    table = pa.Table.from_arrays(
+        [
+            pa.array(pdf["video_id"], type=pa.string()),
+            pa.array(pdf["bytes"], type=pa.binary()),
+            pa.array(pdf["w"], type=pa.int32()),
+            pa.array(pdf["h"], type=pa.int32()),
+            pa.array(pdf["n_frames"], type=pa.int32()),
+            pa.array(pdf["fmt"], type=pa.string()),
+        ],
+        names=["video_id", "bytes", "w", "h", "n_frames", "fmt"],
+    )
+    return _write_atomic(table, out_dir, path)

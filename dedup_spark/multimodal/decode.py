@@ -366,7 +366,11 @@ def frame_sample_stub(df: DataFrame, every_n: int = 30) -> DataFrame:
     `frame_signatures` — a codec build would swap the rawv slice for a
     decode call inside the exact same UDF shape. Raises on use."""
     raise NotImplementedError(
-        "compressed-video frame sampling requires a codec lib not present "
-        "in this container; use multimodal.video.sample_frames for rawv "
-        "containers — the plumbing is identical"
+        "inter-frame codec (h264/vp9) sampling requires a codec lib not "
+        "present in this container; REAL containers ARE covered: "
+        "multimodal.avi parses MJPEG-in-AVI with a general RIFF walker + "
+        "the from-scratch baseline JPEG decoder (oracle-gated, "
+        "avi_video_dedup), and multimodal.video.sample_frames handles raw "
+        "containers — an inter-frame build would swap the per-chunk "
+        "decode inside the same UDF shape"
     )

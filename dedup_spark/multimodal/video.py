@@ -137,24 +137,18 @@ def sample_frames(
     )
 
 
-def video_near_duplicates(
-    df: DataFrame,
-    every_n: int = 4,
+def signature_set_pairs(
+    sigs: DataFrame,
     threshold: float = 0.5,
     max_posting: int | None = 4096,
     id_col: str = "video_id",
 ) -> DataFrame:
-    """(id1, id2, jaccard) pairs over sampled-frame signature sets.
-
-    Inverted index on sig → pair counts → set-Jaccard verify; the
-    Jaccard is computed on DISTINCT sigs per video and the filter runs
-    on the ROUNDED value (round half-up to 6 places) so the oracle
-    compare is float-stable. `max_posting` caps a viral sig's posting
-    list (drops are silent only in count — pass None for the exact
-    gate variant, same contract as the shingle tiers)."""
-    sigs = frame_signatures(df, every_n=every_n, id_col=id_col).select(
-        id_col, "sig"
-    ).distinct()
+    """(id1, id2, jaccard) over (id, sig) rows — the shared inverted-
+    index + set-Jaccard pair stage of every frame-signature tier (rawv
+    and MJPEG-AVI alike). Jaccard runs on DISTINCT sigs per id and the
+    filter uses the ROUNDED value (6 places) for oracle float parity;
+    ``max_posting`` caps viral sigs (None = exact-gate variant)."""
+    sigs = sigs.select(id_col, "sig").distinct()
     # one re-use point (sizes + self-join) → cut the lineage once
     sigs = sigs.localCheckpoint(eager=False)
     sizes = sigs.groupBy(id_col).agg(F.count("*").alias("n_sigs"))
@@ -186,4 +180,20 @@ def video_near_duplicates(
         .join(s2, on="id2")
         .select("id1", "id2", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def video_near_duplicates(
+    df: DataFrame,
+    every_n: int = 4,
+    threshold: float = 0.5,
+    max_posting: int | None = 4096,
+    id_col: str = "video_id",
+) -> DataFrame:
+    """rawv tier: JVM-only frame signatures → shared pair stage."""
+    return signature_set_pairs(
+        frame_signatures(df, every_n=every_n, id_col=id_col),
+        threshold=threshold,
+        max_posting=max_posting,
+        id_col=id_col,
     )

@@ -253,6 +253,91 @@ def char_gram_hashes_udf(k: int):
     return _grams
 
 
+def char_gram_winnowed_udf(k: int, w: int):
+    """pandas UDF: text → sorted distinct WINNOWED byte-k-gram hashes
+    (array<long>); NULL for null/too-short texts.
+
+    Winnowing (Schleimer et al., SIGMOD'03): keep the minimum of every
+    window of ``w`` consecutive positional gram hashes — expected
+    density 2/(w+1), so the posting index shrinks ~4x at w=8 while the
+    recall argument of char_substring_pairs survives (see its
+    docstring: any contained doc with >= w grams spans a full window
+    of the container, and that window's minimum is the contained doc's
+    global-min anchor... or smaller — either way the anchor value,
+    being the run minimum, is selected by the window that covers its
+    position). The GLOBAL minimum gram is always selected (it is the
+    min of any window covering it), so element 1 of the sorted output
+    is still the doc's anchor/fingerprint, bit-identical to the
+    unwinnowed variant's element 1.
+
+    Docs with fewer than w grams winnow over a single full-width
+    window (their global min alone)."""
+    mults = np.array(gram_multipliers(k), dtype=np.uint64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _winnowed(texts: pd.Series) -> pd.Series:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            raw = t.encode("utf-8")
+            if len(raw) < k:
+                out.append(None)
+                continue
+            arr = np.frombuffer(raw, dtype=np.uint8).astype(np.uint64)
+            n = len(arr) - k + 1
+            acc = np.zeros(n, dtype=np.uint64)
+            for j in range(k):
+                acc ^= arr[j : j + n] * mults[j]
+            if n <= w:
+                sel = acc.min(keepdims=True)
+            else:
+                sel = sliding_window_view(acc, w).min(axis=1)
+            out.append(np.unique(sel).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return _winnowed
+
+
+def char_gram_min_udf(k: int):
+    """pandas UDF: text → MINIMUM byte-k-gram hash (long); NULL for
+    null/too-short texts.
+
+    Same rolling hash as char_gram_hashes_udf (shared gram_multipliers,
+    so the DuckDB oracle's gram-by-gram recompute stays valid), but
+    emits only the scalar min — the winnowing anchor / doc fingerprint.
+    Skipping the sort/unique/Python-list materialization of the full
+    gram array makes this ~5x cheaper per doc than taking element 1 of
+    the array UDF, and the Arrow transfer is one int64 per row instead
+    of one array per row. min over uint64 == first element of the
+    sorted distinct array, so the value is bit-identical."""
+    mults = np.array(gram_multipliers(k), dtype=np.uint64)
+
+    @F.pandas_udf(T.LongType())
+    def _min_gram(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            raw = t.encode("utf-8")
+            if len(raw) < k:
+                out.append(None)
+                continue
+            arr = np.frombuffer(raw, dtype=np.uint8).astype(np.uint64)
+            n = len(arr) - k + 1
+            acc = np.zeros(n, dtype=np.uint64)
+            for j in range(k):
+                acc ^= arr[j : j + n] * mults[j]
+            out.append(int(acc.min().astype(np.int64)))
+        return pd.Series(out, dtype="Int64")
+
+    return _min_gram
+
+
 def char_substring_pairs(
     df: DataFrame,
     id_col: str = "image_id",
@@ -260,23 +345,33 @@ def char_substring_pairs(
     k: int = 24,
     max_posting: int | None = 4096,
     log_drops: bool = True,
+    winnow_w: int = 1,
 ) -> DataFrame:
     """Exact character-level substring pairs with GLOBAL recall.
 
     (id1, id2) where id1's text is a strict substring of id2's text
     (equal texts emit one row with id1 < id2), restricted to contained
-    docs of >= k bytes — the documented contract mirrored by the SQL
-    oracle (a winnowed index cannot anchor a doc shorter than one gram;
-    shorter docs are the shingle tier's job).
+    docs of >= k + winnow_w - 1 bytes — the documented contract
+    mirrored by the SQL oracle (an index cannot anchor a doc shorter
+    than one gram, and a winnowed index needs one full window of
+    grams; shorter docs are the shingle tier's job).
 
-    Recall proof: anchor(A) ∈ grams(A) ⊆ grams(B) whenever A ⊆ B, so
-    the anchor-vs-index equi-join yields every true pair; `instr`
-    verification makes precision exact (hash collisions only ever ADD
-    candidates). Scale shape: one vectorized gram pass (narrow,
-    localCheckpointed slim), a (gram, id) shuffle, a sparse equi-join,
-    and a candidate-restricted verify — no all-pairs stage anywhere.
-    Flood grams (> max_posting docs) are dropped WITH a logged count.
+    Recall proof: anchor(A) = min gram of A. A ⊆ B means A's grams are
+    a contiguous run inside B's positional grams; with winnow_w = 1
+    every gram of B is indexed, so anchor(A) ∈ postings(B) directly.
+    With winnow_w = w > 1 the index keeps only window minima
+    (Schleimer et al. winnowing, density ~2/(w+1)); any contained doc
+    with >= w grams (>= k+w-1 bytes) spans a full w-window of B
+    covering its argmin position, and that window's minimum IS
+    anchor(A) — so the equi-join still yields every in-contract pair.
+    `instr` verification makes precision exact (hash collisions only
+    ever ADD candidates). Scale shape: one vectorized gram pass
+    (narrow, localCheckpointed slim), a (gram, id) shuffle ~4x smaller
+    when winnowed, a sparse equi-join, and a candidate-restricted
+    verify — no all-pairs stage anywhere. Flood grams (> max_posting
+    docs) are dropped WITH a logged count.
     """
+    min_len = k + winnow_w - 1
     base = (
         df.filter(F.col(text_col).isNotNull())
         .select(
@@ -285,10 +380,14 @@ def char_substring_pairs(
             F.octet_length(text_col).alias("_blen"),
         )
     )
-    grams = char_gram_hashes_udf(k)
+    grams = (
+        char_gram_winnowed_udf(k, winnow_w)
+        if winnow_w > 1
+        else char_gram_hashes_udf(k)
+    )
     g = (
         base.filter(F.col("_blen") >= k)
-        .select("_id", grams(F.col("_t")).alias("_g"))
+        .select("_id", "_blen", grams(F.col("_t")).alias("_g"))
         .filter(F.col("_g").isNotNull())
         # lazy checkpoint: one UDF pass feeds both branches once any
         # action runs; building the query stays free of Spark jobs
@@ -305,7 +404,7 @@ def char_substring_pairs(
             _count_and_log_drops(counts, max_posting, "char_substring_pairs")
         ok = counts.filter(F.col("_n") <= max_posting).select("gram")
         posts = posts.join(ok, on="gram", how="left_semi")
-    anchors = g.select(
+    anchors = g.filter(F.col("_blen") >= min_len).select(
         F.col("_id").alias("inner_id"), F.element_at("_g", 1).alias("gram")
     )
     cand = (

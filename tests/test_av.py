@@ -7,6 +7,8 @@ import hashlib
 
 import numpy as np
 import pandas as pd
+import pytest
+from pyspark.sql import functions as F
 
 from dedup_spark.fixtures.av import (
     AUDIO_WINDOW,
@@ -211,3 +213,117 @@ def test_audio_long_clip_fingerprint_bounded(spark):
 def test_frame_size_constant_consistent():
     assert FRAME_SIZE == 8 * 8 * 3
     assert RAWV_HEADER == 12
+
+
+# --- MJPEG-in-AVI (real container; multimodal/avi.py) -----------------
+
+
+def _avi_bytes(n_frames=6, vid=3, fps=25):
+    from dedup_spark.fixtures.av import AVI_H, AVI_W, _avi_jpeg_frames
+    from dedup_spark.multimodal.avi import encode_mjpeg_avi
+
+    frames = _avi_jpeg_frames(vid, n_frames)
+    return encode_mjpeg_avi(frames, AVI_W, AVI_H, fps=fps), frames
+
+
+def test_avi_roundtrip_and_layout_contract():
+    from dedup_spark.multimodal.avi import (
+        AVI_CHUNK,
+        AVI_HEADER_BYTES,
+        AVI_TOTALFRAMES_OFF,
+        parse_mjpeg_avi,
+    )
+
+    data, frames = _avi_bytes(n_frames=6)
+    w, h, n, chunks = parse_mjpeg_avi(data)
+    assert (w, h, n) == (16, 16, 6)
+    # padded chunks carry the original JPEG as a prefix
+    for orig, padded in zip(frames, chunks):
+        assert len(padded) == AVI_CHUNK
+        assert padded[: len(orig)] == orig
+        assert padded[len(orig):] == b"\x00" * (AVI_CHUNK - len(orig))
+    # the oracle's offset arithmetic rides on these
+    assert data.find(b"00dc") == AVI_HEADER_BYTES
+    assert data[AVI_TOTALFRAMES_OFF] == 6
+    # the decoded frame is a real image (decoder gates separately)
+    from dedup_spark.multimodal.jpeg import decode_jpeg
+
+    assert decode_jpeg(chunks[0]).shape == (16, 16, 3)
+
+
+def test_avi_parser_rejects_malformed():
+    from dedup_spark.multimodal.avi import parse_mjpeg_avi
+
+    data, _ = _avi_bytes(n_frames=4)
+    for bad in [
+        b"JUNK" + data[4:],               # bad RIFF magic
+        data[:8] + b"WAVE" + data[12:],   # not an AVI form
+        data[:-500],                      # truncated movi
+        b"RIFF\x00\x00\x00\x00AVI ",      # no headers at all
+    ]:
+        with pytest.raises(ValueError):
+            parse_mjpeg_avi(bad)
+
+
+def test_avi_remux_and_trim_dedup_story(spark):
+    """Exact copy -> jaccard 1.0; remux (same chunks, different fps
+    header) -> 1.0 despite different container bytes; one-stride trim
+    -> 2/3 at every_n=2 over 6 frames (sampled {0,2,4} vs {0,2});
+    unrelated video -> no pair; corrupt container -> skipped."""
+    from dedup_spark.fixtures.av import AVI_H, AVI_W, _avi_jpeg_frames
+    from dedup_spark.multimodal.avi import (
+        avi_frame_signatures,
+        encode_mjpeg_avi,
+    )
+    from dedup_spark.multimodal.video import signature_set_pairs
+
+    frames = _avi_jpeg_frames(11, 6)
+    other = _avi_jpeg_frames(12, 6)
+    base = encode_mjpeg_avi(frames, AVI_W, AVI_H)
+    rows = [
+        ("base", base, AVI_W, AVI_H, 6, "mjpeg-avi"),
+        ("copy", base, AVI_W, AVI_H, 6, "mjpeg-avi"),
+        ("remux", encode_mjpeg_avi(frames, AVI_W, AVI_H, fps=30),
+         AVI_W, AVI_H, 6, "mjpeg-avi"),
+        ("trim", encode_mjpeg_avi(frames[:4], AVI_W, AVI_H),
+         AVI_W, AVI_H, 4, "mjpeg-avi"),
+        ("other", encode_mjpeg_avi(other, AVI_W, AVI_H),
+         AVI_W, AVI_H, 6, "mjpeg-avi"),
+        ("corrupt", b"JUNK" + base[4:], AVI_W, AVI_H, 6, "mjpeg-avi"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "video_id string, bytes binary, w int, h int, n_frames int, fmt string",
+    )
+    sigs = avi_frame_signatures(df, every_n=2)
+    assert sigs.filter(F.col("video_id") == "corrupt").count() == 0
+    got = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in signature_set_pairs(sigs, threshold=0.5).collect()
+    }
+    assert got[("base", "copy")] == 1.0
+    assert got[("base", "remux")] == 1.0
+    assert got[("copy", "remux")] == 1.0
+    assert round(got[("base", "trim")], 6) == round(2 / 3, 6)
+    assert not any("other" in k for k in got)
+
+
+def test_avi_fixture_groups_pair_up(spark):
+    """Every generator near-group must surface as pairs >= 0.5 in the
+    driver query's exact-gate configuration."""
+    from dedup_spark.fixtures.av import generate_avi_corpus
+    from dedup_spark.fixtures.materialize import fixture_avi_parquet
+    from dedup_spark.multimodal.avi import avi_frame_signatures
+    from dedup_spark.multimodal.video import signature_set_pairs
+
+    corpus = generate_avi_corpus()
+    df = spark.read.parquet(fixture_avi_parquet())
+    pairs = {
+        frozenset((r["id1"], r["id2"]))
+        for r in signature_set_pairs(
+            avi_frame_signatures(df, every_n=2), threshold=0.5,
+            max_posting=None,
+        ).collect()
+    }
+    for group in corpus.near_groups:
+        assert frozenset(group) in pairs, group

@@ -201,6 +201,74 @@ def test_char_substring_min_length_contract(spark):
     assert got2 == {("s", "l")}
 
 
+def test_char_substring_winnowed_recall_and_contract(spark):
+    """winnow_w > 1: postings shrink but recall holds for contained
+    docs >= k + w - 1 bytes; shorter contained docs are explicitly out
+    of contract (the oracle's strlen bound moves with the window)."""
+    long_needle = "the quick brown fox jumps over it"  # 33 >= 8+4-1=11
+    short_needle = "abcdefghij"  # 10 bytes < 11: out of contract at w=4
+    df = _caption_df(
+        spark,
+        [
+            ("a", long_needle),
+            ("b", f"prefix {long_needle} suffix padding words"),
+            ("s", short_needle),
+            ("t", f"xx {short_needle} yy and much more text here"),
+            ("c", "unrelated words entirely different"),
+        ],
+    ).repartition(8)
+    got = {
+        (r["id1"], r["id2"])
+        for r in char_substring_pairs(
+            df, "image_id", "caption", k=8, winnow_w=4
+        ).collect()
+    }
+    assert ("a", "b") in got  # in-contract containment found
+    assert ("s", "t") not in got  # below k+w-1: out of contract
+    # unwinnowed (w=1) still finds the short one — the contract is the
+    # only thing the window changes
+    got1 = {
+        (r["id1"], r["id2"])
+        for r in char_substring_pairs(
+            df, "image_id", "caption", k=8, winnow_w=1
+        ).collect()
+    }
+    assert {("a", "b"), ("s", "t")} <= got1
+
+
+def test_char_gram_min_udf_equals_array_head(spark):
+    """char_gram_min_udf (the cheap doc-fingerprint path) must be
+    bit-identical to element 1 of the sorted distinct gram array, and
+    to element 1 of the WINNOWED array (winnowing always keeps the
+    global min)."""
+    from dedup_spark.operators.suffix import (
+        char_gram_hashes_udf,
+        char_gram_min_udf,
+        char_gram_winnowed_udf,
+    )
+
+    df = _caption_df(
+        spark,
+        [
+            ("a", "the quick brown fox jumps over the lazy dog"),
+            ("b", "short"),
+            ("c", None),
+            ("d", "another document with enough bytes to gram"),
+        ],
+    )
+    k = 8
+    out = df.select(
+        "image_id",
+        char_gram_min_udf(k)(F.col("caption")).alias("mn"),
+        F.element_at(char_gram_hashes_udf(k)(F.col("caption")), 1).alias("h1"),
+        F.element_at(
+            char_gram_winnowed_udf(k, 4)(F.col("caption")), 1
+        ).alias("w1"),
+    ).collect()
+    for r in out:
+        assert r["mn"] == r["h1"] == r["w1"], r
+
+
 def test_transitive_chain_across_tiers(spark):
     """FIXTURES.md transitive_chain: A≈B (captions), B≈C (captions),
     A!≈C directly — connected components must still cluster A,B,C."""

@@ -122,6 +122,50 @@ def test_global_shuffle_index_partition_invariant(spark):
     }
 
 
+def test_bucketed_scan_bucket_bytes_2_identical_and_skew(spark):
+    """The 65,536-bucket path (bucket_bytes=2) that sequence_packing /
+    deterministic_shuffle are documented to switch to for big windows:
+    (a) shuffle_pos and the exclusive running total are IDENTICAL at
+    bucket_bytes 1 vs 2 — the bucket width is an execution detail, not
+    a semantics knob; (b) a skew corpus whose ids ALL land in md5
+    bucket 0 at 1-byte width (so the 1-byte engine runs one fat window)
+    still agrees with the 2-byte engine, which spreads the same rows
+    over 256 sub-buckets and exercises the sparse-offsets path."""
+    from dedup_spark.operators.ordering import global_running_total
+
+    ids = list(range(400))
+    rows = [(i, (i * 7) % 13 + 1) for i in ids]
+    df = spark.createDataFrame(rows, ["doc_id", "toks"]).repartition(8)
+    for op, col in [
+        (lambda d, b: global_shuffle_index(d, seed="s3", bucket_bytes=b),
+         "shuffle_pos"),
+        (lambda d, b: global_running_total(
+            d, "toks", seed="s3", bucket_bytes=b), "running_total"),
+    ]:
+        one = {r["doc_id"]: r[col] for r in op(df, 1).collect()}
+        two = {r["doc_id"]: r[col] for r in op(df, 2).collect()}
+        assert one == two
+
+    # skew: brute-force ids whose md5("sk:"+id) starts with "00" — all
+    # in bucket 0 at bucket_bytes=1, spread over sub-buckets at 2
+    skew_ids, i = [], 0
+    while len(skew_ids) < 64:
+        if hashlib.md5(f"sk:{i}".encode()).hexdigest().startswith("00"):
+            skew_ids.append(i)
+        i += 1
+    sdf = spark.createDataFrame([(j, 3) for j in skew_ids], ["doc_id", "toks"])
+    a = {r["doc_id"]: (r["shuffle_pos"],)
+         for r in global_shuffle_index(sdf, seed="sk", bucket_bytes=1).collect()}
+    b = {r["doc_id"]: (r["shuffle_pos"],)
+         for r in global_shuffle_index(sdf, seed="sk", bucket_bytes=2).collect()}
+    assert a == b
+    want = sorted(
+        skew_ids, key=lambda j: (hashlib.md5(f"sk:{j}".encode()).hexdigest(), j)
+    )
+    for pos, j in enumerate(want):
+        assert a[j][0] == pos
+
+
 # --- dataset assembly (operators/assembly.py) ------------------------
 
 

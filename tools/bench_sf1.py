@@ -27,6 +27,16 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE_SF = "/root/testdata/sf0.1"
+# the base suite runs against a 32-partition restage of sf0.1, NOT the
+# single-file original: the sf1 corpus is written at 32 partitions, and
+# a 1-partition baseline runs ONE python UDF worker while sf1 runs 32 —
+# so the naive ratio charges sf1 with 32x worker startup and 32-way
+# memory contention that the baseline never pays. Equal layout makes
+# the cpu ratio measure per-byte scaling, which is the study's claim.
+# (The r3 "superlinear" flags on simhash_text_pairs/doc_fingerprints
+# were dominated by exactly this artifact, plus a real UDF
+# re-execution bug fixed in r4 — see operators/simhash.py usage.)
+BASE32_DIR = "/tmp/dedup_spark_bench/base32"
 SF1_DIR = "/tmp/dedup_spark_bench/sf1"
 REPLICAS = 10
 
@@ -58,6 +68,18 @@ TEXT_QUERIES = [
 def build_sf1(spark) -> None:
     from pyspark.sql import functions as F
 
+    base32 = os.path.join(BASE32_DIR, "documents.parquet")
+    if not os.path.exists(os.path.join(base32, "_SUCCESS")):
+        spark.read.parquet(
+            os.path.join(BASE_SF, "documents.parquet")
+        ).repartition(32).write.mode("overwrite").parquet(base32)
+        # the base suite reads every table from its sf dir; link the
+        # rest unchanged (only documents is used by the text tier, but
+        # _docs siblings must resolve)
+        for name in os.listdir(BASE_SF):
+            dst = os.path.join(BASE32_DIR, name)
+            if name != "documents.parquet" and not os.path.exists(dst):
+                os.symlink(os.path.join(BASE_SF, name), dst)
     out = os.path.join(SF1_DIR, "documents.parquet")
     if os.path.exists(os.path.join(out, "_SUCCESS")):
         return
@@ -123,7 +145,7 @@ def main() -> None:
     sf1_runs, base_runs = [], []
     for _ in range(args.reps):
         if not args.skip_base:
-            base_runs.append(run_suite(BASE_SF, names))
+            base_runs.append(run_suite(BASE32_DIR, names))
         sf1_runs.append(run_suite(SF1_DIR, names))
     sf1 = _median_merge(sf1_runs, names)
     base = None if args.skip_base else _median_merge(base_runs, names)
