@@ -793,6 +793,71 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TXT_COSINE_T = 0.9  # embed_text near-dup threshold (probe at sf0.01:
+# the 25 true jaccard pairs all land >= 0.95, background < 0.8)
+
+
+def _docs_text_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding) from raw TEXT via the hashed bag-of-bigrams
+    projection (operators/embeddings.py embed_text_udf) — components
+    rounded to 6 (the float-parity rule) BEFORE any downstream use so
+    engine and oracle cosine run on identical doubles."""
+    from dedup_spark.operators.embeddings import embed_text_udf
+
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            F.transform(
+                embed_text_udf()(F.col("text")), lambda x: F.round(x, 6)
+            ).alias("embedding"),
+        )
+        .filter(F.col("embedding").isNotNull())
+        # the UDF output feeds a multi-branch consumer (gemm blocks +
+        # all_ids) — cut the lineage once
+        .localCheckpoint(eager=False)
+    )
+
+
+def q_embed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text → embedding operator (VERDICT r3 'missing' #4): hashed
+    bag-of-word-bigrams, FNV-1a bucket + sign bit, exact integer
+    counts, one sqrt + one division per component — deterministic and
+    fully SQL-reproducible (the oracle recomputes every FNV hash,
+    bucket, sign, count, norm, and component). Long output
+    (doc_id, dim_idx, value) so the compare is pure scalars. Docs with
+    no word bigram have no embedding and emit nothing (mirrored by the
+    oracle's len(arr) >= 2 bound)."""
+    emb = _docs_text_embedding(spark, sf_dir)
+    return emb.select(
+        F.col("vec_id").alias("doc_id"), F.posexplode("embedding")
+    ).select(
+        "doc_id",
+        F.col("pos").cast("int").alias("dim_idx"),
+        F.round(F.col("col"), 6).alias("value"),
+    )
+
+
+def q_semantic_dedup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semantic-dedup tier running on a corpus that arrives WITHOUT
+    vectors: embed_text → exact-cosine edges (>= TXT_COSINE_T) →
+    connected components → keep flag. Same artifact shape as
+    semantic_dedup, but the oracle additionally recomputes the whole
+    embedding (FNV bigram hashing included) before the cosine +
+    recursive-closure recompute — the full text-to-clusters chain in
+    one gate."""
+    emb = _docs_text_embedding(spark, sf_dir)
+    edges = cosine_scores_gemm(emb, threshold=TXT_COSINE_T).select(
+        "id1", "id2"
+    )
+    assign = clusters_from_pairs(edges, all_ids=emb, id_col="vec_id")
+    return assign.select(
+        F.col("vec_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        (F.col("cluster_id") == F.col("vec_id")).alias("keep"),
+    )
+
+
 # ----- rows-only queries (no SQL equivalent: approximate / iterative /
 # image-payload over the deterministic fixture corpus) -----
 
@@ -1889,6 +1954,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs": q_cosine_pairs,
         "cosine_topk": q_cosine_topk,
         "semantic_dedup": q_semantic_dedup,
+        "embed_text": q_embed_text,
+        "semantic_dedup_text": q_semantic_dedup_text,
         "ann_cosine_pairs": q_ann_cosine_pairs,
         "ivf_recall_report": q_ivf_recall_report,
         "ivf_topk": q_ivf_topk,
@@ -1940,6 +2007,45 @@ def oracle_sql() -> dict[str, str]:
     from dedup_spark.fixtures.materialize import fixture_images_parquet
     from dedup_spark.operators.assembly import rate_threshold_hex
     from dedup_spark.operators.suffix import gram_multipliers
+
+    # full SQL recompute of the hashed bag-of-bigrams text embedding
+    # (embed_text_udf): FNV-1a per bigram (HUGEINT wrapping multiply,
+    # same machinery as the minhash oracle), bucket = h % 64, sign =
+    # bit 6, exact integer counts, one sqrt + one division — every
+    # double is reproduced bit-identically, then rounded to 6
+    w64 = 1 << 64
+    fnv = (
+        "list_reduce(list_prepend(14695981039346656037::UBIGINT, "
+        "list_transform(string_split(g, ''), c -> ascii(c)::UBIGINT)), "
+        "(acc, byt) -> CAST((CAST(xor(acc, byt) AS HUGEINT) "
+        f"* 1099511628211) % {w64} AS UBIGINT))"
+    )
+    embed_base = f"""
+t AS (
+  SELECT doc_id, {_TOKS} AS arr FROM documents
+  WHERE text IS NOT NULL AND len({_TOKS}) >= 2 AND trim(text) <> ''
+),
+bg AS (
+  SELECT doc_id, arr[i] || ' ' || arr[i+1] AS g
+  FROM t, UNNEST(range(1, len(arr))) AS u(i)
+),
+th AS (SELECT doc_id, {fnv} AS h FROM bg),
+bs AS (
+  SELECT doc_id, CAST(h % 64 AS INT) AS dim_idx,
+         CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+  FROM th
+),
+vc AS (SELECT doc_id, dim_idx, CAST(sum(sgn) AS BIGINT) AS cnt
+       FROM bs GROUP BY doc_id, dim_idx),
+fl AS (
+  SELECT d.doc_id, g.i AS dim_idx, coalesce(vc.cnt, 0) AS cnt
+  FROM (SELECT DISTINCT doc_id FROM t) d
+  CROSS JOIN (SELECT unnest(range(64)) AS i) g
+  LEFT JOIN vc ON vc.doc_id = d.doc_id AND vc.dim_idx = g.i
+),
+nr AS (SELECT doc_id, sqrt(CAST(sum(cnt*cnt) AS DOUBLE)) AS nrm
+       FROM fl GROUP BY doc_id)
+"""
 
     # stratified-sample keep thresholds: generated from the engine's own
     # rate_threshold_hex() so oracle and engine can never disagree on a
@@ -2621,6 +2727,51 @@ cl AS (SELECT src AS vec_id, min(dst) AS cluster_id FROM reach GROUP BY src)
 SELECT v.vec_id, coalesce(cl.cluster_id, v.vec_id) AS cluster_id,
        coalesce(cl.cluster_id, v.vec_id) = v.vec_id AS keep
 FROM v LEFT JOIN cl ON v.vec_id = cl.vec_id
+""",
+        "embed_text": f"""
+WITH {embed_base}
+SELECT f.doc_id, CAST(f.dim_idx AS INT) AS dim_idx,
+       round(CAST(f.cnt AS DOUBLE) / nr.nrm, 6) AS value
+FROM fl f JOIN nr ON nr.doc_id = f.doc_id
+WHERE nr.nrm > 0
+""",
+        # text -> embedding -> cosine edges -> transitive closure ->
+        # keep flag, all recomputed: the rounded components feed the
+        # SAME renormalized-cosine expression as _ORACLE_COSINE_BASE
+        "semantic_dedup_text": f"""
+WITH RECURSIVE {embed_base},
+ve AS (
+  SELECT f.doc_id,
+         list(round(CAST(f.cnt AS DOUBLE) / nr.nrm, 6)
+              ORDER BY f.dim_idx) AS e
+  FROM fl f JOIN nr ON nr.doc_id = f.doc_id
+  WHERE nr.nrm > 0 GROUP BY f.doc_id
+),
+vv AS (
+  SELECT doc_id, e,
+         sqrt(list_sum(list_transform(e, x -> x * x))) AS n2
+  FROM ve
+),
+p AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         round(list_sum(list_transform(range(1, 65),
+               i -> a.e[i] * b.e[i])) / (a.n2 * b.n2), 6) AS cosine
+  FROM vv a JOIN vv b ON a.doc_id < b.doc_id
+),
+e2 AS (SELECT id1 AS a, id2 AS b FROM p WHERE cosine >= {TXT_COSINE_T}),
+sym AS (
+  SELECT a, b FROM e2 UNION SELECT b, a FROM e2
+  UNION SELECT a, a FROM e2 UNION SELECT b, b FROM e2
+),
+reach(src, dst) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.src, y.b FROM reach r JOIN sym y ON r.dst = y.a
+),
+cl AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+SELECT v.doc_id, coalesce(cl.cluster_id, v.doc_id) AS cluster_id,
+       coalesce(cl.cluster_id, v.doc_id) = v.doc_id AS keep
+FROM vv v LEFT JOIN cl ON v.doc_id = cl.doc_id
 """,
         "cosine_topk": _ORACLE_COSINE_BASE
         + f""",

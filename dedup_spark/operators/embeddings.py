@@ -634,3 +634,62 @@ def ivf_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# text -> embedding (hashed bag-of-bigrams projection)
+# ---------------------------------------------------------------------------
+
+
+def embed_text_udf(dim: int = 64):
+    """pandas UDF: text → hashed bag-of-word-bigrams embedding
+    (array<double>, L2-normalized, NULL when the doc has no bigram).
+
+    The fastText/hashing-trick recipe, built deterministic and
+    SQL-reproducible so a corpus that arrives WITHOUT vectors can still
+    run the whole semantic-dedup tier under the oracle: for every word
+    bigram "w_i w_{i+1}", h = FNV-1a(bigram); the bigram adds
+    sign = ±1 (bit 6 of h) to bucket h % dim (bits 0..5 for dim=64 —
+    disjoint from the sign bit). Counts are exact integers, the norm is
+    one sqrt, each component one division — every arithmetic step is
+    order-independent or a single IEEE op, so DuckDB recomputes the
+    identical doubles from the same FNV hashes (the minhash oracle's
+    HUGEINT FNV machinery) and the round-6 comparison rule applies
+    unchanged. Downstream (cosine_scores_gemm → connected components)
+    is the existing, separately-gated semantic tier.
+
+    Vectorized like simhash_text_udf: one batch-wide factorize over
+    bigram strings, one vectorized FNV pass over the uniques
+    (hash_tokens_np), one np.add.at scatter into the (n_docs, dim)
+    count matrix — no per-document Python in the accumulation."""
+    from dedup_spark.operators.minhash import hash_tokens_np
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _embed(texts: pd.Series) -> pd.Series:
+        n_docs = len(texts)
+        grams: list[str] = []
+        doc_of: list[int] = []
+        for d, t in enumerate(texts):
+            toks = t.lower().split() if t is not None else []
+            for i in range(len(toks) - 1):
+                grams.append(toks[i] + " " + toks[i + 1])
+                doc_of.append(d)
+        out: list = [None] * n_docs
+        if grams:
+            codes, uniques = pd.factorize(np.asarray(grams, dtype=object))
+            h = hash_tokens_np(list(uniques))[codes]
+            bucket = (h % np.uint64(dim)).astype(np.int64)
+            sign = np.where(
+                (h >> np.uint64(6)) & np.uint64(1) == 0, 1, -1
+            ).astype(np.int64)
+            counts = np.zeros((n_docs, dim), dtype=np.int64)
+            np.add.at(counts, (np.asarray(doc_of), bucket), sign)
+            has = np.zeros(n_docs, dtype=bool)
+            has[np.asarray(doc_of)] = True
+            norms = np.sqrt((counts.astype(np.float64) ** 2).sum(axis=1))
+            for d in range(n_docs):
+                if has[d] and norms[d] > 0:
+                    out[d] = (counts[d] / norms[d]).tolist()
+        return pd.Series(out)
+
+    return _embed

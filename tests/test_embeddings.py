@@ -216,3 +216,72 @@ def test_ivf_topk_full_probe_equals_brute_and_clustered_recall(spark, vecs):
     }
     recall = len(one & bpairs) / len(bpairs)
     assert recall >= 0.9, recall
+
+
+# --- text -> embedding (hashed bag-of-bigrams) -------------------------
+
+
+def test_embed_text_udf_reference_impl(spark):
+    """Components must equal the scalar reference: FNV-1a per bigram,
+    bucket h%64, sign bit 6, count/L2-norm; docs without a bigram get
+    NULL."""
+    from dedup_spark.operators.embeddings import embed_text_udf
+    from dedup_spark.operators.minhash import hash_token
+
+    rows = [
+        (1, "the quick brown fox jumps"),
+        (2, "single"),
+        (3, None),
+        (4, "a b a b a"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["e"]
+        for r in df.select(
+            "doc_id", embed_text_udf()(F.col("text")).alias("e")
+        ).collect()
+    }
+    assert got[2] is None and got[3] is None
+
+    def ref(text):
+        toks = text.lower().split()
+        v = [0] * 64
+        for i in range(len(toks) - 1):
+            h = hash_token(toks[i] + " " + toks[i + 1])
+            v[h % 64] += 1 if (h >> 6) & 1 == 0 else -1
+        n = sum(x * x for x in v) ** 0.5
+        return [x / n for x in v]
+
+    for did, text in [(1, rows[0][1]), (4, rows[3][1])]:
+        want = ref(text)
+        assert len(got[did]) == 64
+        for a, b in zip(got[did], want):
+            assert abs(a - b) < 1e-12
+
+
+def test_embed_text_near_dup_separation(spark):
+    """Near-identical docs must land close in cosine; disjoint-vocab
+    docs must not (the property semantic_dedup_text rides on)."""
+    from dedup_spark.operators.embeddings import (
+        cosine_scores_gemm,
+        embed_text_udf,
+    )
+
+    base = " ".join(f"w{i}" for i in range(60))
+    near = " ".join(f"w{i}" for i in range(59)) + " zz"
+    other = " ".join(f"q{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], ["vec_id", "text"]
+    )
+    emb = df.select(
+        "vec_id",
+        F.transform(
+            embed_text_udf()(F.col("text")), lambda x: F.round(x, 6)
+        ).alias("embedding"),
+    ).localCheckpoint(eager=False)
+    got = {
+        (r["id1"], r["id2"]): r["cosine"]
+        for r in cosine_scores_gemm(emb, threshold=-1.0).collect()
+    }
+    assert got[(1, 2)] > 0.9
+    assert abs(got[(1, 3)]) < 0.5 and abs(got[(2, 3)]) < 0.5
