@@ -793,6 +793,30 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECON_N, DECON_MOD = 13, 29  # GPT-3-style 13-gram decontamination;
+# eval set = docs with doc_id % 29 == 0 — a deterministic in-corpus
+# stand-in for an external benchmark table, modulus chosen so the eval
+# set intersects near-dup pairs (at sf0.01: 22 contaminated, 5 of them
+# NEAR-DUP-driven non-eval docs — the flag is non-vacuous)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontaminate.py — the
+    GPT-3 Appendix C / FineWeb recipe): flag every training doc that
+    shares >= 1 word-13-gram with the eval set. Eval side is a
+    broadcast gram set; corpus side is one explode + broadcast join +
+    per-doc count. Non-vacuous by construction: every eval doc >= 13
+    tokens self-flags, and eval docs' NEAR-dups (shared long runs)
+    flag too while unrelated docs stay clean. The oracle recomputes
+    grams, the distinct eval set, and the per-doc distinct-match count
+    in SQL."""
+    from dedup_spark.operators.decontaminate import contamination_flags
+
+    docs = _docs(spark, sf_dir)
+    eval_docs = docs.filter(F.col("doc_id") % DECON_MOD == 0)
+    return contamination_flags(docs, eval_docs, n=DECON_N)
+
+
 TXT_COSINE_T = 0.9  # embed_text near-dup threshold (probe at sf0.01:
 # the 25 true jaccard pairs all land >= 0.95, background < 0.8)
 
@@ -1956,6 +1980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "embed_text": q_embed_text,
         "semantic_dedup_text": q_semantic_dedup_text,
+        "decontaminate": q_decontaminate,
         "ann_cosine_pairs": q_ann_cosine_pairs,
         "ivf_recall_report": q_ivf_recall_report,
         "ivf_topk": q_ivf_topk,
@@ -2727,6 +2752,29 @@ cl AS (SELECT src AS vec_id, min(dst) AS cluster_id FROM reach GROUP BY src)
 SELECT v.vec_id, coalesce(cl.cluster_id, v.vec_id) AS cluster_id,
        coalesce(cl.cluster_id, v.vec_id) = v.vec_id AS keep
 FROM v LEFT JOIN cl ON v.vec_id = cl.vec_id
+""",
+        # grams are 1-based-inclusive list slices (arr[i : i+N-1], the
+        # DuckDB idiom for Spark slice(toks, i, N)); match counts are
+        # DISTINCT (doc, gram) joins against the DISTINCT eval set —
+        # exactly the engine's two .distinct() passes
+        "decontaminate": f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS arr FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+),
+g AS (
+  SELECT DISTINCT doc_id, array_to_string(arr[i : i + {DECON_N - 1}], ' ') AS gram
+  FROM t, UNNEST(range(1, len(arr) - {DECON_N} + 2)) AS u(i)
+  WHERE len(arr) >= {DECON_N}
+),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % {DECON_MOD} = 0),
+m AS (
+  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n
+  FROM g JOIN ev USING (gram) GROUP BY g.doc_id
+)
+SELECT d.doc_id, coalesce(m.n, 0) AS n_matched_grams,
+       coalesce(m.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
 """,
         "embed_text": f"""
 WITH {embed_base}

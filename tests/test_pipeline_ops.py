@@ -237,3 +237,36 @@ def test_source_mixing_weights_sum_to_one(spark):
     # alpha=0.5 upweights the small source vs its natural share
     assert out["c"]["mix_weight"] > out["c"]["share"]
     assert out["a"]["mix_weight"] < out["a"]["share"]
+
+
+def test_contamination_flags_reference_semantics(spark):
+    """Exactly the GPT-3-style rule: contaminated iff the doc shares a
+    full 13-token run with any eval doc; counts are DISTINCT matched
+    grams; short docs (< 13 tokens) and clean docs report 0/false."""
+    from dedup_spark.operators.decontaminate import contamination_flags
+
+    run = " ".join(f"t{i}" for i in range(13))       # the leaked run
+    other = " ".join(f"u{i}" for i in range(20))
+    rows = [
+        (1, f"intro words {run} trailing stuff here"),  # leaked
+        (2, other),                                      # clean
+        (3, "only twelve tokens " + " ".join(f"v{i}" for i in range(8))),
+        (4, run),                                        # exact eval text
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    eval_docs = spark.createDataFrame([(99, f"prefix {run} suffix")],
+                                      ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_matched_grams"], r["contaminated"])
+        for r in contamination_flags(docs, eval_docs, n=13).collect()
+    }
+    assert got[1] == (1, True)   # one shared 13-gram
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)  # 12 tokens: no gram exists
+    assert got[4] == (1, True)
+    # a doc REPEATING the leaked run still counts DISTINCT grams
+    rep = spark.createDataFrame([(5, f"{run} {run}")], ["doc_id", "text"])
+    got5 = contamination_flags(rep, eval_docs, n=13).collect()[0]
+    # "run run" contains sliding grams across the seam; only the two
+    # aligned copies equal the eval gram, and they dedup to ONE
+    assert got5["n_matched_grams"] == 1 and got5["contaminated"]
