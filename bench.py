@@ -58,6 +58,11 @@ HEADLINE = [
     "sequence_packing",
     "source_mixing",
     "training_mixture",
+    # round-4 tiers
+    "embed_text",
+    "semantic_dedup_text",
+    "decontaminate",
+    "avi_video_dedup",
 ]
 
 

@@ -327,3 +327,22 @@ def test_avi_fixture_groups_pair_up(spark):
     }
     for group in corpus.near_groups:
         assert frozenset(group) in pairs, group
+
+
+def test_avi_natural_size_chunks_word_alignment():
+    """pad_to=None writes natural-size '00dc' chunks; odd JPEG lengths
+    force the RIFF word-alignment pad byte between chunks, which the
+    general walker must honor (fixed-stride offset math would break
+    here — only the fixture's padded mode has fixed strides)."""
+    from dedup_spark.fixtures.av import AVI_H, AVI_W, _avi_jpeg_frames
+    from dedup_spark.multimodal.avi import encode_mjpeg_avi, parse_mjpeg_avi
+
+    frames = _avi_jpeg_frames(21, 5)
+    # force at least one odd-length chunk by appending a COM-style
+    # trailing byte the decoder ignores (after EOI)
+    frames = [f + b"\x00" if len(f) % 2 == 0 else f for f in frames]
+    assert any(len(f) % 2 == 1 for f in frames)
+    data = encode_mjpeg_avi(frames, AVI_W, AVI_H, pad_to=None)
+    w, h, n, chunks = parse_mjpeg_avi(data)
+    assert (w, h, n) == (16, 16, 5)
+    assert [bytes(c) for c in chunks] == [bytes(f) for f in frames]
