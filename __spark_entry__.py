@@ -817,6 +817,26 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_flags(docs, eval_docs, n=DECON_N)
 
 
+def q_model_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the FineWeb-Edu/fastText-classifier
+    pipeline stage, deterministic stand-in model): hashed-bigram
+    embedding → linear head → keep iff round(w·e, 6) >= 0. The engine
+    owns the SERVING path — featurize + score at scan speed — and that
+    whole path is the gate: the oracle recomputes the embedding (FNV
+    machinery) and the ordered-fold dot product against the same
+    inlined weights. Weights come from quality_head_weights() — one
+    Python source of truth feeding both plans."""
+    from dedup_spark.operators.decontaminate import (
+        linear_quality_scores,
+        quality_head_weights,
+    )
+
+    emb = _docs_text_embedding(spark, sf_dir)
+    return linear_quality_scores(
+        emb, quality_head_weights(), id_col="vec_id"
+    ).select(F.col("vec_id").alias("doc_id"), "score", "keep")
+
+
 TXT_COSINE_T = 0.9  # embed_text near-dup threshold (probe at sf0.01:
 # the 25 true jaccard pairs all land >= 0.95, background < 0.8)
 
@@ -1981,6 +2001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_text": q_embed_text,
         "semantic_dedup_text": q_semantic_dedup_text,
         "decontaminate": q_decontaminate,
+        "model_quality_filter": q_model_quality_filter,
         "ann_cosine_pairs": q_ann_cosine_pairs,
         "ivf_recall_report": q_ivf_recall_report,
         "ivf_topk": q_ivf_topk,
@@ -2071,6 +2092,10 @@ fl AS (
 nr AS (SELECT doc_id, sqrt(CAST(sum(cnt*cnt) AS DOUBLE)) AS nrm
        FROM fl GROUP BY doc_id)
 """
+
+    from dedup_spark.operators.decontaminate import quality_head_weights
+
+    qhead_list = "[" + ", ".join(repr(x) for x in quality_head_weights()) + "]"
 
     # stratified-sample keep thresholds: generated from the engine's own
     # rate_threshold_hex() so oracle and engine can never disagree on a
@@ -2820,6 +2845,28 @@ cl AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)
 SELECT v.doc_id, coalesce(cl.cluster_id, v.doc_id) AS cluster_id,
        coalesce(cl.cluster_id, v.doc_id) = v.doc_id AS keep
 FROM vv v LEFT JOIN cl ON v.doc_id = cl.doc_id
+""",
+        # linear head over the recomputed embedding: ordered-fold dot
+        # product (list_reduce == the engine's sequential F.aggregate)
+        # against the SAME inlined weights from quality_head_weights()
+        "model_quality_filter": f"""
+WITH {embed_base},
+ve AS (
+  SELECT f.doc_id,
+         list(round(CAST(f.cnt AS DOUBLE) / nr.nrm, 6)
+              ORDER BY f.dim_idx) AS e
+  FROM fl f JOIN nr ON nr.doc_id = f.doc_id
+  WHERE nr.nrm > 0 GROUP BY f.doc_id
+),
+w AS (SELECT {qhead_list} AS wl)
+SELECT ve.doc_id,
+       round(list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(range(1, 65), i -> ve.e[i] * w.wl[i])),
+             (acc, x) -> acc + x), 6) AS score,
+       round(list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(range(1, 65), i -> ve.e[i] * w.wl[i])),
+             (acc, x) -> acc + x), 6) >= 0.0 AS keep
+FROM ve, w
 """,
         "cosine_topk": _ORACLE_COSINE_BASE
         + f""",

@@ -80,3 +80,50 @@ def contamination_flags(
         F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_matched_grams"),
         (F.coalesce(F.col("_n"), F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# model-based quality filter (linear head over hashed-bigram features)
+# ---------------------------------------------------------------------------
+
+
+def quality_head_weights(dim: int = 64, seed: str = "qhead-0") -> list[float]:
+    """Deterministic linear-head weights, the stand-in for a trained
+    fastText/FineWeb-Edu-style quality classifier (no model files in
+    this container — but the SERVING path, which is what a data engine
+    owns, is identical): w_i = (u32(md5(seed:i)) / 2^32) - 0.5, exactly
+    representable doubles reproducible in any engine from the same md5.
+    Single source of truth — the driver query inlines these into BOTH
+    the Spark plan and the DuckDB oracle's VALUES table."""
+    import hashlib as _hl
+
+    out = []
+    for i in range(dim):
+        u = int(_hl.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16)
+        out.append(u / 4294967296.0 - 0.5)
+    return out
+
+
+def linear_quality_scores(
+    emb: DataFrame,
+    weights: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """(id, score, keep): score = round(w·e, 6) via an ORDERED fold
+    (F.aggregate over zip_with — sequential, so DuckDB's list_reduce
+    reproduces the identical IEEE sum), keep = rounded score >=
+    threshold. No sigmoid: a monotone link doesn't change the keep set
+    and transcendental libm calls are the one place two engines'
+    doubles can drift."""
+    w = F.array(*[F.lit(float(x)) for x in weights])
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), w, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        F.col(id_col),
+        F.round(dot, 6).alias("score"),
+    ).withColumn("keep", F.col("score") >= F.lit(threshold))

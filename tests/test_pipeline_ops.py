@@ -270,3 +270,33 @@ def test_contamination_flags_reference_semantics(spark):
     # "run run" contains sliding grams across the seam; only the two
     # aligned copies equal the eval gram, and they dedup to ONE
     assert got5["n_matched_grams"] == 1 and got5["contaminated"]
+
+
+def test_linear_quality_scores_reference_dot(spark):
+    """Score must equal the plain-Python sequential dot of the same
+    rounded embedding and weights; keep flips exactly at 0."""
+    from dedup_spark.operators.decontaminate import (
+        linear_quality_scores,
+        quality_head_weights,
+    )
+
+    w = quality_head_weights()
+    assert len(w) == 64 and all(-0.5 <= x < 0.5 for x in w)
+    # two synthetic unit vectors aligned with the most positive /
+    # most negative weight coordinates
+    import numpy as np
+
+    hi, lo = int(np.argmax(w)), int(np.argmin(w))
+    e_hi = [0.0] * 64
+    e_hi[hi] = 1.0
+    e_lo = [0.0] * 64
+    e_lo[lo] = 1.0
+    df = spark.createDataFrame(
+        [(1, e_hi), (2, e_lo)], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: (r["score"], r["keep"])
+        for r in linear_quality_scores(df, w).collect()
+    }
+    assert got[1] == (round(w[hi], 6), True)
+    assert got[2] == (round(w[lo], 6), False)
