@@ -62,6 +62,12 @@ TEXT_QUERIES = [
     "sequence_packing",
     "source_mixing",
     "training_mixture",
+    # round-4 tiers (semantic_dedup_text is excluded: its exact-GEMM
+    # edge source is quadratic BY CONTRACT — the oracle tier; the scale
+    # path is the separately-gated IVF/ANN edge source)
+    "embed_text",
+    "model_quality_filter",
+    "decontaminate",
 ]
 
 
