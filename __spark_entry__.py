@@ -817,6 +817,32 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_flags(docs, eval_docs, n=DECON_N)
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup CASCADE over the events table
+    (operators/rollup.py): hour aggregates from raw, day aggregates
+    from the HOUR AGGREGATES (never re-scanning raw — the continuous-
+    aggregate pattern that makes multi-grain rollups one pass at
+    100 TB). The oracle aggregates raw events DIRECTLY at day grain —
+    cascade == direct is precisely the combinability claim — and
+    n_active_hours (count of active finer buckets) pins the cascade's
+    intermediate level too. sum(value) is an accumulated float:
+    round-6 on both sides (the source_mixing parity rule)."""
+    from dedup_spark.operators.rollup import cascade_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = cascade_rollup(
+        ev, ts_col="ts", keys=["event_type"], value_col="value",
+        grains=["hour", "day"],
+    )
+    return day.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_value", 6).alias("sum_value"),
+        F.col("n_finer_buckets").cast("long").alias("n_active_hours"),
+    )
+
+
 def q_model_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering (the FineWeb-Edu/fastText-classifier
     pipeline stage, deterministic stand-in model): hashed-bigram
@@ -2002,6 +2028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_text": q_semantic_dedup_text,
         "decontaminate": q_decontaminate,
         "model_quality_filter": q_model_quality_filter,
+        "events_rollup": q_events_rollup,
         "ann_cosine_pairs": q_ann_cosine_pairs,
         "ivf_recall_report": q_ivf_recall_report,
         "ivf_topk": q_ivf_topk,
@@ -2845,6 +2872,19 @@ cl AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)
 SELECT v.doc_id, coalesce(cl.cluster_id, v.doc_id) AS cluster_id,
        coalesce(cl.cluster_id, v.doc_id) = v.doc_id AS keep
 FROM vv v LEFT JOIN cl ON v.doc_id = cl.doc_id
+""",
+        # direct day-grain aggregation of RAW events — the cascade
+        # (hour aggs -> day aggs) must equal it exactly; accumulated
+        # float sum rounded 6 both sides
+        "events_rollup": """
+SELECT event_type,
+       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       CAST(count(DISTINCT date_trunc('hour', ts)) AS BIGINT)
+         AS n_active_hours
+FROM events
+GROUP BY 1, 2
 """,
         # linear head over the recomputed embedding: ordered-fold dot
         # product (list_reduce == the engine's sequential F.aggregate)

@@ -300,3 +300,40 @@ def test_linear_quality_scores_reference_dot(spark):
     }
     assert got[1] == (round(w[hi], 6), True)
     assert got[2] == (round(w[lo], 6), False)
+
+
+def test_cascade_rollup_equals_direct(spark):
+    """The combinability claim, unit-scale: a minute->hour->day cascade
+    must equal direct day-grain aggregation of raw rows, including the
+    active-finer-bucket count; misordered grains raise."""
+    import datetime as dt
+
+    import pytest as _pt
+
+    from dedup_spark.operators.rollup import cascade_rollup
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    for i in range(200):
+        rows.append(
+            ("a" if i % 3 else "b",
+             base + dt.timedelta(minutes=17 * i),
+             float(i % 7) + 0.25)
+        )
+    df = spark.createDataFrame(rows, ["k", "ts", "value"])
+    day = cascade_rollup(df, ts_col="ts", keys=["k"], value_col="value",
+                         grains=["minute", "hour", "day"])
+    got = {
+        (r["k"], str(r["bucket"])): (r["n_events"], round(r["sum_value"], 6))
+        for r in day.collect()
+    }
+    from collections import defaultdict
+
+    direct = defaultdict(lambda: [0, 0.0])
+    for k, ts, v in rows:
+        key = (k, str(ts.replace(hour=0, minute=0, second=0)))
+        direct[key][0] += 1
+        direct[key][1] += v
+    assert got == {k: (n, round(s, 6)) for k, (n, s) in direct.items()}
+    with _pt.raises(ValueError):
+        cascade_rollup(df, grains=["day", "hour"])
