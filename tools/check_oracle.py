@@ -4,6 +4,11 @@ given sf dir, compare row count, column names, and an order-insensitive
 value comparison (columns sorted by name, rows sorted by all columns).
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+       python tools/check_oracle.py --json OUT.json [sf_dir] [query ...]
+
+--json additionally writes a per-query snapshot artifact
+({name: {match, rows, secs}}) so a round can end with a committed
+correctness record timestamped after the last code change.
 """
 
 from __future__ import annotations
@@ -40,8 +45,13 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = get_spark("oracle_check", cores=8, shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -50,6 +60,7 @@ def main() -> int:
         )
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failed = []
+    record: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -59,10 +70,12 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failed.append(name)
+            record[name] = {"match": False, "err": str(e)[:300]}
             continue
         el = time.time() - t0
         if name not in oracles:
             print(f"ok    {name}: rows-only ({len(sdf)} rows, {el:.1f}s)")
+            record[name] = {"match": None, "rows": len(sdf), "secs": round(el, 1)}
             continue
         odf = con.execute(oracles[name]).df()
         s, o = norm(sdf), norm(odf)
@@ -79,7 +92,21 @@ def main() -> int:
             failed.append(name)
         else:
             print(f"ok    {name}: MATCH ({len(s)} rows, {el:.1f}s)")
+        record[name] = {
+            "match": name not in failed,
+            "rows": len(s),
+            "secs": round(el, 1),
+        }
     print("failed:", failed or "none")
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as f:
+            _json.dump(
+                {"sf_dir": sf_dir, "checked": len(record),
+                 "failed": failed, "queries": record},
+                f, indent=1,
+            )
     return 1 if failed else 0
 
 
