@@ -799,6 +799,10 @@ DECON_N, DECON_MOD = 13, 29  # GPT-3-style 13-gram decontamination;
 # set intersects near-dup pairs (at sf0.01: 22 contaminated, 5 of them
 # NEAR-DUP-driven non-eval docs — the flag is non-vacuous)
 
+SPAN_K = 13  # ExactSubstr span-excision gram width (Lee et al. 2022
+# use 50 BPE tokens; 13 words is the same order of magnitude and
+# matches the decontamination gram so the two tiers share machinery)
+
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/decontaminate.py — the
@@ -815,6 +819,24 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     eval_docs = docs.filter(F.col("doc_id") % DECON_MOD == 0)
     return contamination_flags(docs, eval_docs, n=DECON_N)
+
+
+def q_exact_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span excision (operators/spandedup.py — the
+    Lee et al. 2022 ExactSubstr corpus-cleaning stage, word-13-gram
+    formulation): every word-13-gram shared by >= 2 distinct docs
+    covers its occurrences' word ranges; covered words are CUT OUT and
+    the doc is re-emitted cleaned. One row per input doc. Non-vacuous:
+    the corpus's near-dup pairs (ngram_jaccard_pairs' 25 pairs at
+    j>=0.9) share long verbatim runs, so their spans excise, while
+    unique docs pass through with dup_fraction 0 and cleaned_text ==
+    their normalized token stream. The oracle recomputes grams,
+    the cross-doc duplicated-gram set, the per-doc coverage UNION,
+    and the cleaned text (string_agg over uncovered positions) —
+    the full-string compare is the hardest gate in the text tier."""
+    from dedup_spark.operators.spandedup import duplicated_span_excision
+
+    return duplicated_span_excision(_docs(spark, sf_dir), k=SPAN_K)
 
 
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2027,6 +2049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_text": q_embed_text,
         "semantic_dedup_text": q_semantic_dedup_text,
         "decontaminate": q_decontaminate,
+        "exact_span_dedup": q_exact_span_dedup,
         "model_quality_filter": q_model_quality_filter,
         "events_rollup": q_events_rollup,
         "ann_cosine_pairs": q_ann_cosine_pairs,
@@ -2827,6 +2850,54 @@ m AS (
 SELECT d.doc_id, coalesce(m.n, 0) AS n_matched_grams,
        coalesce(m.n, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
+""",
+        # ExactSubstr span excision: recompute gram occurrences WITH
+        # POSITIONS, the cross-doc duplicated-gram set (>=2 distinct
+        # docs), the per-doc coverage union, and the cleaned text
+        # (string_agg over uncovered positions). Empty/short docs pass
+        # through: n_covered 0, cleaned = normalized token stream.
+        "exact_span_dedup": f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR trim(text) = ''
+              THEN CAST([] AS VARCHAR[]) ELSE {_TOKS} END AS arr
+  FROM documents
+),
+o AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(arr[i : i + {SPAN_K - 1}], ' ') AS gram
+  FROM t, UNNEST(range(1, len(arr) - {SPAN_K} + 2)) AS u(i)
+  WHERE len(arr) >= {SPAN_K}
+),
+dg AS (
+  SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM o)
+  GROUP BY gram HAVING count(*) >= 2
+),
+cp AS (
+  SELECT DISTINCT o.doc_id, p AS wpos
+  FROM o JOIN dg USING (gram), UNNEST(range(o.pos, o.pos + {SPAN_K})) AS v(p)
+),
+agg AS (SELECT doc_id, count(*) AS n_cov FROM cp GROUP BY doc_id),
+w AS (
+  SELECT t.doc_id, i, arr[i] AS word
+  FROM t, UNNEST(range(1, len(arr) + 1)) AS u(i)
+),
+ct AS (
+  SELECT w.doc_id, string_agg(w.word, ' ' ORDER BY w.i) AS cleaned
+  FROM w LEFT JOIN cp ON cp.doc_id = w.doc_id AND cp.wpos = w.i
+  WHERE cp.wpos IS NULL
+  GROUP BY w.doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.arr) AS BIGINT) AS n_words,
+       CAST(coalesce(agg.n_cov, 0) AS BIGINT) AS n_covered,
+       round(CASE WHEN len(t.arr) = 0 THEN 0.0
+                  ELSE coalesce(agg.n_cov, 0) * 1.0 / len(t.arr) END,
+             6) AS dup_fraction,
+       coalesce(ct.cleaned, '') AS cleaned_text
+FROM t
+LEFT JOIN agg ON agg.doc_id = t.doc_id
+LEFT JOIN ct ON ct.doc_id = t.doc_id
 """,
         "embed_text": f"""
 WITH {embed_base}

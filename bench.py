@@ -63,6 +63,7 @@ HEADLINE = [
     "semantic_dedup_text",
     "decontaminate",
     "avi_video_dedup",
+    "exact_span_dedup",
 ]
 
 
