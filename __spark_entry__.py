@@ -985,6 +985,14 @@ def q_ann_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IVF_K, IVF_ITERS, IVF_PROBE = 16, 5, 3  # pinned gate config (deterministic)
 GANN_BITS, GANN_TABLES = 4, 16  # gaussian-LSH gate config (seeded planes)
+PQ_M, PQ_KSUB, PQ_ITERS, PQ_SHORTLIST = 16, 256, 5, 64  # PQ gate config:
+# 16 subspaces x 256 centroids (8-bit codes; 64-dim -> 4-dim
+# subvectors; 16 B/vector vs 256 B float32 on the candidate join). At
+# full probe the ADC shortlist already recovers the brute top-k
+# row-for-row at shortlist=32 on this corpus (0 misses; 32 misses at
+# 16, 3 at m=8/ksub=256/sl=64) — the gate runs shortlist=64 for 2x
+# margin; production shortlist/probe depth is the recall lever,
+# measured in tests/test_pq.py
 
 
 def _embedding_recall_report(exact: DataFrame, found: DataFrame) -> DataFrame:
@@ -1056,6 +1064,32 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = kmeans_centroids(emb, k=IVF_K, iters=IVF_ITERS)
     return ivf_topk(emb, cents, k=TOPK, n_probe=IVF_K)
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ top-k search (operators/pq.py — Jégou et al. 2011 / the
+    FAISS IVFPQ shape): coarse cells route probes, candidates are
+    ranked by ADC from 8 PQ codes alone (the candidate join never
+    ships a full vector), the top-64 shortlist is re-ranked by exact
+    cosine. At the gate config — FULL probe, shortlist 64 vs k=5 —
+    the output must equal the brute GEMM top-k ROW FOR ROW against
+    the SAME SQL oracle as cosine_topk/ivf_topk, which pins the whole
+    path: deterministic codebook training (hash-min init, decimal
+    sums, 6dp rounding), code assignment, ADC ranking (a true
+    neighbor falling off the shortlist would mismatch), and the
+    re-rank contract. Compression/recall trade-offs at production
+    probe depth are pinned in tests/test_pq.py."""
+    from dedup_spark.operators.embeddings import kmeans_centroids
+    from dedup_spark.operators.pq import ivfpq_topk, pq_train
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = kmeans_centroids(emb, k=IVF_K, iters=IVF_ITERS)
+    cb = pq_train(emb, m=PQ_M, ksub=PQ_KSUB, iters=PQ_ITERS)
+    return ivfpq_topk(
+        emb, cents, cb, k=TOPK, n_probe=IVF_K, shortlist=PQ_SHORTLIST
+    )
 
 
 def q_ann_gaussian_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2055,6 +2089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_pairs": q_ann_cosine_pairs,
         "ivf_recall_report": q_ivf_recall_report,
         "ivf_topk": q_ivf_topk,
+        "pq_topk": q_pq_topk,
         "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
         "substring_containment": q_substring_containment,
@@ -2995,6 +3030,21 @@ QUALIFY rnk <= {TOPK}
         # full-probe IVF top-k must equal the brute top-k row-for-row —
         # same oracle text as cosine_topk on purpose (see q_ivf_topk)
         "ivf_topk": _ORACLE_COSINE_BASE
+        + f""",
+sym AS (
+  SELECT id1 AS query_id, id2 AS neighbor_id, cosine FROM p
+  UNION ALL
+  SELECT id2 AS query_id, id1 AS neighbor_id, cosine FROM p
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+FROM sym
+QUALIFY rnk <= {TOPK}
+""",
+        # the PQ gate shares the brute-top-k oracle: at full probe +
+        # shortlist 64 the exact re-rank must recover it row-for-row
+        "pq_topk": _ORACLE_COSINE_BASE
         + f""",
 sym AS (
   SELECT id1 AS query_id, id2 AS neighbor_id, cosine FROM p
