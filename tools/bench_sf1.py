@@ -68,6 +68,7 @@ TEXT_QUERIES = [
     "embed_text",
     "model_quality_filter",
     "decontaminate",
+    "exact_span_dedup",
 ]
 
 
@@ -139,6 +140,11 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=1,
                     help="interleaved (base, sf1) repetitions; medians reported"
                     " (UDF-heavy cpu wobbles ±90%% on this oversubscribed host)")
+    ap.add_argument("--merge", action="store_true",
+                    help="with --only: merge the measured queries into the"
+                    " existing BENCH/sf1_scaling.json (and recompute the"
+                    " max/superlinear summary) instead of overwriting the"
+                    " whole study")
     args = ap.parse_args()
     names = args.only.split(",") if args.only else TEXT_QUERIES
 
@@ -199,6 +205,20 @@ def main() -> None:
             if v.get("cpu_ratio", 0) > 1.5 * bytes_ratio
         ]
     os.makedirs("BENCH", exist_ok=True)
+    if args.merge and os.path.exists("BENCH/sf1_scaling.json"):
+        with open("BENCH/sf1_scaling.json") as f:
+            prior = json.load(f)
+        prior["queries"].update(report["queries"])
+        ratios = [
+            v["cpu_ratio"] for v in prior["queries"].values() if "cpu_ratio" in v
+        ]
+        if ratios:
+            prior["max_cpu_ratio"] = max(ratios)
+            prior["superlinear"] = [
+                q for q, v in prior["queries"].items()
+                if v.get("cpu_ratio", 0) > 1.5 * prior["bytes_ratio"]
+            ]
+        report = prior
     with open("BENCH/sf1_scaling.json", "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report))
