@@ -1621,6 +1621,27 @@ def q_crossformat_pixel_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rescale_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-invariant image dedup (multimodal/decode.py
+    thumbprint_clusters): the same image stored at 64², 32² and 16²
+    collapses into one cluster via the 8×8 nearest-grid thumbprint —
+    the case byte dedup, the (phash,length) stage-1 pre-group, AND
+    pixel-sha dedup all miss (every variant has different bytes, a
+    different length, and a different pixel buffer). The fixture's
+    dims compose exactly under the sampler (8 | d | 64), so thumb
+    equality within a source — and distinctness across the 40
+    digest-seeded sources — holds by construction; the oracle pins the
+    full value-checked cluster assignment as min(image_id) per SOURCE,
+    which the engine must reproduce from pixels alone (it never sees
+    src_id). A drifted decoder, sampler index rule, or hash breaks the
+    match."""
+    from dedup_spark.fixtures.materialize import fixture_rescale_parquet
+    from dedup_spark.multimodal.decode import thumbprint_clusters
+
+    df = spark.read.parquet(fixture_rescale_parquet())
+    return thumbprint_clusters(df.drop("src_id"))
+
+
 def q_multimodal_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-star 3-stage engine as ONE artifact over the
     input_hint image+caption corpus (BASELINE.json north_star):
@@ -2101,6 +2122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode_fidelity": q_image_decode_fidelity,
         "jpeg_roundtrip_fidelity": q_jpeg_roundtrip_fidelity,
         "crossformat_pixel_dedup": q_crossformat_pixel_dedup,
+        "rescale_dedup": q_rescale_dedup,
         "multimodal_dedup_pipeline": q_multimodal_dedup_pipeline,
         "video_frame_dedup": q_video_frame_dedup,
         "avi_video_dedup": q_avi_video_dedup,
@@ -2210,6 +2232,9 @@ nr AS (SELECT doc_id, sqrt(CAST(sum(cnt*cnt) AS DOUBLE)) AS nrm
     )
 
     avi_fixture = f"read_parquet('{fixture_avi_parquet()}')"
+    from dedup_spark.fixtures.materialize import fixture_rescale_parquet
+
+    rescale_fixture = f"read_parquet('{fixture_rescale_parquet()}')"
     # 256-row hex-pair lookup: this DuckDB build cannot slice or hash
     # BLOBs, so the audio oracle reconstructs int16 samples from
     # hex(bytes) via substring + this VALUES join
@@ -2397,6 +2422,16 @@ WITH v AS (
 SELECT vid AS image_id, TRUE AS ok,
        min(vid) OVER (PARTITION BY tier, bytes) AS cluster_id
 FROM v
+""",
+        # scale-invariant thumbprint dedup: the sampler composition law
+        # (8 | d | 64) makes all variants of a source share one 8x8
+        # thumbprint bitwise, and the 40 digest-seeded sources are
+        # pairwise distinct at the sampled positions — so the engine's
+        # pixel-derived clusters must equal min(image_id) per SOURCE
+        "rescale_dedup": f"""
+SELECT image_id, TRUE AS ok,
+       min(image_id) OVER (PARTITION BY src_id) AS cluster_id
+FROM {rescale_fixture}
 """,
         "phash_hamming_pairs": f"""
 SELECT a.image_id AS id1, b.image_id AS id2,

@@ -315,3 +315,35 @@ def to_spark(spark, corpus: Corpus):
     imgs = spark.createDataFrame(corpus.images, schema=IMAGES_SCHEMA)
     truth = spark.createDataFrame(corpus.truth, schema=TRUTH_SCHEMA)
     return imgs, truth
+
+
+RESCALE_DIMS = (64, 32, 16)
+
+
+def generate_rescale_corpus(
+    n_src: int = 40, seed: int = 7, dims: tuple[int, ...] = RESCALE_DIMS
+) -> pd.DataFrame:
+    """Multi-resolution variants of each source image — the rescale-
+    dedup fixture. The base is dims[0]² (photo-like, _smooth_image);
+    every smaller variant is the SAME nearest-grid point-sample the
+    engine's resize uses (multimodal/decode._mean_pool's index rule
+    ``i*h//out``). Dims are chosen so sampling COMPOSES exactly:
+    with 8 | d | 64, (64 → d → 8) lands on the identical source pixels
+    as (64 → 8), making the 8×8 thumbprint bitwise scale-invariant by
+    construction — the composition law the rescale_dedup oracle's
+    group-by-source pins. Columns: (image_id, src_id, bytes, w, h,
+    fmt='ppm')."""
+    base_d = dims[0]
+    rows = []
+    for i in range(n_src):
+        sid = f"r{i:04d}"
+        base = _smooth_image(f"{seed}:{sid}".encode(), base_d, base_d)
+        for d in dims:
+            idx = (np.arange(d) * base_d) // d
+            px = base[np.ix_(idx, idx)]
+            rows.append(
+                (f"{sid}#{d:02d}", sid, encode_ppm(px), d, d, "ppm")
+            )
+    return pd.DataFrame(
+        rows, columns=["image_id", "src_id", "bytes", "w", "h", "fmt"]
+    )

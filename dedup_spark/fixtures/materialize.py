@@ -144,6 +144,36 @@ def fixture_audio_parquet(params: dict | None = None) -> str:
     return _write_atomic(table, out_dir, path)
 
 
+RESCALE_PARAMS = dict(n_src=40, seed=7)
+
+
+def fixture_rescale_parquet(params: dict | None = None) -> str:
+    """Pinned multi-resolution image corpus (fixtures/images.py
+    generate_rescale_corpus) — the scale-invariant-dedup golden file."""
+    import pyarrow as pa
+
+    from dedup_spark.fixtures.images import generate_rescale_corpus
+
+    params = dict(RESCALE_PARAMS if params is None else params)
+    out_dir = os.path.join(FIXTURE_ROOT, "rescale_" + _params_tag(params))
+    path = os.path.join(out_dir, "rescale.parquet")
+    if os.path.exists(path):
+        return path
+    pdf = generate_rescale_corpus(**params)
+    table = pa.Table.from_arrays(
+        [
+            pa.array(pdf["image_id"], type=pa.string()),
+            pa.array(pdf["src_id"], type=pa.string()),
+            pa.array(pdf["bytes"], type=pa.binary()),
+            pa.array(pdf["w"], type=pa.int32()),
+            pa.array(pdf["h"], type=pa.int32()),
+            pa.array(pdf["fmt"], type=pa.string()),
+        ],
+        names=["image_id", "src_id", "bytes", "w", "h", "fmt"],
+    )
+    return _write_atomic(table, out_dir, path)
+
+
 AVI_PARAMS = dict(n_base=30, every_n=2, seed=42)
 
 

@@ -357,6 +357,59 @@ def pixel_sha(
     )
 
 
+def thumbprint_clusters(
+    df: DataFrame,
+    grid: int = 8,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+) -> DataFrame:
+    """Scale-invariant image dedup: decode → nearest-grid point-sample
+    to grid×grid (`_mean_pool`) → sha256 thumbprint → cluster by
+    thumbprint (min id). Catches the SAME image stored at different
+    resolutions — invisible to byte dedup (different lengths), to the
+    stage-1 (phash, length) pre-group (different lengths), and to
+    pixel-sha dedup (different dims/buffers).
+
+    Exactness contract: the thumbprint is bitwise-equal across
+    resolutions whenever the sampling grids compose (grid | d | D for a
+    D→d downscale, see fixtures/images.generate_rescale_corpus); for
+    arbitrary rescales it is a near-dup signature like phash. At scale
+    this is one Arrow-batched projection + one groupBy on a 64-char
+    key + a join-back — the exact-tier shape, image bytes never enter
+    the Exchange (only id/ok/sha do).
+    """
+    import hashlib
+
+    def _thumb(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rid, data, fmt in zip(pdf[id_col], pdf[bytes_col], pdf[fmt_col]):
+                px = _decode_any(data, fmt)
+                if px is None:
+                    rows.append((rid, False, None))
+                    continue
+                t = _mean_pool(px, grid, grid)
+                rows.append(
+                    (rid, True, hashlib.sha256(
+                        np.ascontiguousarray(t).tobytes()
+                    ).hexdigest())
+                )
+            yield pd.DataFrame(rows, columns=[id_col, "ok", "thumb_sha"])
+
+    th = df.select(id_col, bytes_col, fmt_col).mapInPandas(
+        _thumb, schema=f"{id_col} string, ok boolean, thumb_sha string"
+    ).localCheckpoint(eager=False)
+    roots = (
+        th.filter(F.col("ok"))
+        .groupBy("thumb_sha")
+        .agg(F.min(id_col).alias("cluster_id"))
+    )
+    return th.join(roots, on="thumb_sha", how="left").select(
+        id_col, "ok", F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id")
+    )
+
+
 def frame_sample_stub(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Frame sampling for CODEC-COMPRESSED video (h264/vp9/...) — STUB:
     those decoders are absent from this container. The REAL frame
