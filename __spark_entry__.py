@@ -799,6 +799,10 @@ DECON_N, DECON_MOD = 13, 29  # GPT-3-style 13-gram decontamination;
 # set intersects near-dup pairs (at sf0.01: 22 contaminated, 5 of them
 # NEAR-DUP-driven non-eval docs — the flag is non-vacuous)
 
+CDC_DIV = 64  # CDC boundary divisor — expected chunk length in bytes
+# (2-byte window value % 64 == 0; see operators/cdc.py for why the
+# window is 2 bytes here and what production would use)
+
 SPAN_K = 13  # ExactSubstr span-excision gram width (Lee et al. 2022
 # use 50 BPE tokens; 13 words is the same order of magnitude and
 # matches the decontamination gram so the two tiers share machinery)
@@ -1621,6 +1625,38 @@ def q_crossformat_pixel_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (operators/cdc.py — the LBFS/
+    FastCDC storage recipe at sub-file granularity): every rawv video
+    PLUS a 5-byte-prepended variant of each is chunked at
+    content-defined boundaries and chunks are deduped across blobs.
+    The prepend is the point: it shifts every fixed-size block, but
+    CDC boundaries are local-content functions, so the chunk stream
+    resyncs and the variant shares all but its first chunk(s) with its
+    base — on top of the corpus's own copy/trim/append families. The
+    oracle recomputes every boundary (byte-pair arithmetic over
+    hex(bytes) via the 256-row lookup), every chunk md5 (hex-slice
+    trick), the cross-blob shared set, and the per-blob report."""
+    from dedup_spark.fixtures.materialize import fixture_videos_parquet
+    from dedup_spark.operators.cdc import cdc_dedup_stats
+
+    vids = spark.read.parquet(fixture_videos_parquet()).select(
+        "video_id", "bytes"
+    )
+    # prepend only the even-indexed videos: the odd family-less bases
+    # keep shared_fraction < 1, so the report has spread — prepending
+    # everything would saturate every blob at 1.0 via its own twin
+    pre = vids.filter(
+        F.substring("video_id", 5, 4).cast("int") % 2 == 0
+    ).select(
+        F.concat(F.col("video_id"), F.lit("#p")).alias("video_id"),
+        F.concat(
+            F.lit(bytes.fromhex("DEADBEEF01")), F.col("bytes")
+        ).alias("bytes"),
+    )
+    return cdc_dedup_stats(vids.unionByName(pre), divisor=CDC_DIV)
+
+
 def q_rescale_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-invariant image dedup (multimodal/decode.py
     thumbprint_clusters): the same image stored at 64², 32² and 16²
@@ -2123,6 +2159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_roundtrip_fidelity": q_jpeg_roundtrip_fidelity,
         "crossformat_pixel_dedup": q_crossformat_pixel_dedup,
         "rescale_dedup": q_rescale_dedup,
+        "cdc_chunk_dedup": q_cdc_chunk_dedup,
         "multimodal_dedup_pipeline": q_multimodal_dedup_pipeline,
         "video_frame_dedup": q_video_frame_dedup,
         "avi_video_dedup": q_avi_video_dedup,
@@ -2422,6 +2459,61 @@ WITH v AS (
 SELECT vid AS image_id, TRUE AS ok,
        min(vid) OVER (PARTITION BY tier, bytes) AS cluster_id
 FROM v
+""",
+        # CDC: recompute every boundary (byte-pair % divisor over
+        # hex(bytes) via the 256-row lookup), every chunk md5 (hex
+        # slice: 2*start+1, length 2*clen), the shared set (two-stage
+        # distinct, >= 2 blobs), and the per-blob instance counts
+        "cdc_chunk_dedup": f"""
+WITH hb(hh, v) AS (VALUES {hex_byte_values}),
+fx AS (SELECT video_id, hex(bytes) AS hx FROM {vid_fixture}),
+allb AS (
+  SELECT video_id, hx FROM fx
+  UNION ALL
+  SELECT video_id || '#p' AS video_id, 'DEADBEEF01' || hx AS hx FROM fx
+  WHERE CAST(substr(video_id, 5, 4) AS INT) % 2 = 0
+),
+b AS (SELECT video_id, hx, strlen(hx) // 2 AS n FROM allb),
+pos AS (
+  SELECT video_id, hx, n, i
+  FROM b, UNNEST(range(2, n + 1)) AS u(i)
+),
+bd AS (
+  SELECT p.video_id, p.i
+  FROM pos p
+  JOIN hb b1 ON b1.hh = substr(p.hx, 2*p.i - 3, 2)
+  JOIN hb b2 ON b2.hh = substr(p.hx, 2*p.i - 1, 2)
+  WHERE (b1.v * 256 + b2.v) % {CDC_DIV} = 0
+),
+ends AS (
+  SELECT DISTINCT video_id, e FROM (
+    SELECT video_id, i AS e FROM bd
+    UNION ALL
+    SELECT video_id, n AS e FROM b
+  )
+),
+ch AS (
+  SELECT video_id,
+         coalesce(lag(e) OVER (PARTITION BY video_id ORDER BY e), 0) AS s,
+         e
+  FROM ends
+),
+cm AS (
+  SELECT c.video_id, c.e - c.s AS clen,
+         md5(substr(bb.hx, 2*c.s + 1, 2*(c.e - c.s))) AS h
+  FROM ch c JOIN b bb ON bb.video_id = c.video_id
+),
+sh AS (
+  SELECT h FROM (SELECT DISTINCT h, video_id FROM cm)
+  GROUP BY h HAVING count(*) >= 2
+)
+SELECT cm.video_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(cm.clen) AS BIGINT) AS n_bytes,
+       CAST(count(sh.h) AS BIGINT) AS n_shared_chunks,
+       round(count(sh.h) * 1.0 / count(*), 6) AS shared_fraction
+FROM cm LEFT JOIN sh ON sh.h = cm.h
+GROUP BY cm.video_id
 """,
         # scale-invariant thumbprint dedup: the sampler composition law
         # (8 | d | 64) makes all variants of a source share one 8x8
