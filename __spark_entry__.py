@@ -869,6 +869,57 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (operators/temporal.py — the time-series operator
+    Spark lacks as a built-in): every click event gains the latest
+    PRECEDING purchase (ts <=, same user) via the union-and-forward-
+    fill plan — one shuffle on user_id, no driver state. The oracle is
+    DuckDB's NATIVE ASOF LEFT JOIN, so the distributed recipe is gated
+    against a reference implementation of the semantics, including the
+    1865-of-2006 matched/unmatched split and null handling."""
+    from dedup_spark.operators.temporal import asof_join, epoch_us
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    j = asof_join(left, right, on="user_id", right_cols=("value",))
+    return j.select(
+        "event_id",
+        "user_id",
+        epoch_us(F.col("ts")).alias("ts_us"),
+        epoch_us(F.col("ts_matched")).alias("matched_ts_us"),
+        F.round("value_matched", 6).alias("matched_value"),
+    )
+
+
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (interval) join: every (error, click) pair of the same
+    user with the click in the hour before the error — bucketed
+    equi-join on (user, time-bucket) with an exact residual filter,
+    never an all-pairs theta join (operators/temporal.py). The oracle
+    is the plain quadratic inequality join over the same micros."""
+    from dedup_spark.operators.temporal import epoch_us, range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    errs = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    p = range_join(errs, clicks, on="user_id", lower_s=0, upper_s=3600)
+    return p.select(
+        F.col("l_event_id").alias("error_id"),
+        F.col("r_event_id").alias("click_id"),
+        F.col("l_user_id").alias("user_id"),
+        (epoch_us(F.col("l_ts")) - epoch_us(F.col("r_ts"))).alias("delta_us"),
+    )
+
+
 def q_model_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering (the FineWeb-Edu/fastText-classifier
     pipeline stage, deterministic stand-in model): hashed-bigram
@@ -2143,6 +2194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_span_dedup": q_exact_span_dedup,
         "model_quality_filter": q_model_quality_filter,
         "events_rollup": q_events_rollup,
+        "events_asof_join": q_events_asof_join,
+        "events_range_join": q_events_range_join,
         "ann_cosine_pairs": q_ann_cosine_pairs,
         "ivf_recall_report": q_ivf_recall_report,
         "ivf_topk": q_ivf_topk,
@@ -3118,6 +3171,32 @@ SELECT event_type,
          AS n_active_hours
 FROM events
 GROUP BY 1, 2
+""",
+        # the as-of gate uses DuckDB's NATIVE ASOF JOIN — the engine's
+        # union-and-forward-fill plan vs a reference implementation of
+        # the semantics (ties match: <=)
+        "events_asof_join": """
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, value FROM events
+      WHERE event_type = 'purchase')
+SELECT l.event_id, l.user_id,
+       epoch_us(l.ts) AS ts_us,
+       epoch_us(r.ts) AS matched_ts_us,
+       round(r.value, 6) AS matched_value
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+        # the range gate is the plain quadratic inequality join the
+        # engine's bucketed equi-join must reproduce pair-for-pair
+        "events_range_join": """
+SELECT a.event_id AS error_id, b.event_id AS click_id,
+       a.user_id AS user_id,
+       epoch_us(a.ts) - epoch_us(b.ts) AS delta_us
+FROM events a JOIN events b ON a.user_id = b.user_id
+WHERE a.event_type = 'error' AND b.event_type = 'click'
+  AND epoch_us(b.ts) >= epoch_us(a.ts) - 3600000000
+  AND epoch_us(b.ts) <= epoch_us(a.ts)
 """,
         # linear head over the recomputed embedding: ordered-fold dot
         # product (list_reduce == the engine's sequential F.aggregate)

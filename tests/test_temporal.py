@@ -1,0 +1,92 @@
+"""AS-OF and RANGE joins (operators/temporal.py): tie semantics,
+no-match nulls, window-edge inclusivity, single emission per pair."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedup_spark.operators.temporal import asof_join, range_join
+
+
+def _ts(s: float) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+@pytest.fixture()
+def sides(spark):
+    left = spark.createDataFrame(
+        [(1, 7, _ts(100.0)), (2, 7, _ts(50.0)), (3, 7, _ts(10.0)),
+         (4, 9, _ts(100.0))],
+        "event_id long, user_id long, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [(7, _ts(100.0), 1.5),   # exactly at left#1's ts: ties match
+         (7, _ts(40.0), 2.5),
+         (8, _ts(1.0), 9.9)],    # other key: never matches
+        "user_id long, ts timestamp_ntz, value double",
+    )
+    return left, right
+
+
+def test_asof_backward_with_ties_and_nulls(spark, sides):
+    left, right = sides
+    out = {
+        r.event_id: r
+        for r in asof_join(left, right, on="user_id", right_cols=("value",))
+        .collect()
+    }
+    assert out[1].value_matched == 1.5  # equal ts matches (<= contract)
+    assert out[1].ts_matched == _ts(100.0)
+    assert out[2].value_matched == 2.5  # latest preceding, not just any
+    assert out[3].value_matched is None  # nothing precedes
+    assert out[3].ts_matched is None
+    assert out[4].value_matched is None  # key isolation
+    assert len(out) == 4  # exactly one row per left row
+
+
+def test_asof_matches_every_left_row_once(spark, sides):
+    left, right = sides
+    n = asof_join(left, right, on="user_id", right_cols=("value",)).count()
+    assert n == left.count()
+
+
+def test_range_join_edges_and_single_emission(spark):
+    # window [l-60, l-0]; right rows planted exactly AT each edge, one
+    # just outside, and one straddling a bucket boundary
+    left = spark.createDataFrame(
+        [(1, 5, _ts(120.0))], "event_id long, user_id long, ts timestamp_ntz"
+    )
+    right = spark.createDataFrame(
+        [(10, 5, _ts(60.0)),    # == l-60: inclusive lower edge
+         (11, 5, _ts(120.0)),   # == l: inclusive upper edge
+         (12, 5, _ts(59.999999)),  # 1us outside: excluded
+         (13, 5, _ts(90.0)),    # interior, different bucket than 60.0
+         (14, 6, _ts(90.0))],   # other key
+        "event_id long, user_id long, ts timestamp_ntz",
+    )
+    rows = range_join(
+        left, right, on="user_id", lower_s=0, upper_s=60
+    ).collect()
+    got = sorted(r.r_event_id for r in rows)
+    assert got == [10, 11, 13]  # each qualifying pair exactly once
+
+
+def test_range_join_rejects_bad_window(spark):
+    df = None
+    import pyspark.sql
+
+    with pytest.raises(ValueError):
+        range_join(
+            pyspark.sql.SparkSession.getActiveSession().createDataFrame(
+                [], "user_id long, ts timestamp_ntz"
+            ),
+            pyspark.sql.SparkSession.getActiveSession().createDataFrame(
+                [], "user_id long, ts timestamp_ntz"
+            ),
+            on="user_id",
+            lower_s=10,
+            upper_s=10,
+        )
