@@ -920,6 +920,94 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dec_sum(c):
+    """Decimal-exact sum of a per-row double expression: the per-row
+    double arithmetic is bit-identical in both engines (same IEEE
+    ops), and the decimal(30,12) summation is order-free — so a
+    60k-row sum matches DuckDB exactly where a double sum's
+    partition-order error would blow past the 6dp rounding."""
+    return F.sum(c.cast("decimal(30,12)"))
+
+
+def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary) over the lineitem table — the
+    classic one-scan map-side-combinable aggregate, demonstrating the
+    engine's general OLAP surface beyond the dedup tiers. All sums go
+    through decimal-exact accumulation (_dec_sum) so 60k-row float
+    sums are order-free and oracle-exact at 6dp."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate")
+        <= F.to_timestamp_ntz(F.lit("1998-09-02 00:00:00"))
+    )
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc * (F.lit(1.0) + F.col("l_tax"))
+    cnt = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(_dec_sum(F.col("l_quantity")).cast("double"), 6).alias(
+            "sum_qty"
+        ),
+        F.round(
+            _dec_sum(F.col("l_extendedprice")).cast("double"), 6
+        ).alias("sum_base_price"),
+        F.round(_dec_sum(disc).cast("double"), 6).alias("sum_disc_price"),
+        F.round(_dec_sum(charge).cast("double"), 6).alias("sum_charge"),
+        F.round(
+            _dec_sum(F.col("l_quantity")).cast("double") / cnt, 6
+        ).alias("avg_qty"),
+        F.round(
+            _dec_sum(F.col("l_discount")).cast("double") / cnt, 6
+        ).alias("avg_disc"),
+        cnt.cast("long").alias("count_order"),
+    )
+
+
+def q_tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping priority: customer ⋈ orders ⋈ lineitem
+    with the small filtered dim BROADCAST (the explicit
+    broadcast-small-sides discipline), revenue via decimal-exact sums.
+    Emits every qualifying order (no LIMIT — top-k would need a tie
+    rule the benchmark leaves unspecified)."""
+    cutoff = F.to_timestamp_ntz(F.lit("1998-01-01 00:00:00"))
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < cutoff
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > cutoff
+    )
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.round(_dec_sum(disc).cast("double"), 6).alias("revenue"))
+    )
+
+
+def q_events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column surface: the events table's JSON props
+    are extracted at scan speed (get_json_object — JVM-side, no UDF)
+    and aggregated per event type; the oracle re-extracts with
+    DuckDB's json_extract. Integer sums are exact, so the avg is
+    bit-stable without decimal machinery."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+        F.round(F.sum("k") / F.count(F.lit(1)), 6).alias("avg_k"),
+    )
+
+
 def q_model_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering (the FineWeb-Edu/fastText-classifier
     pipeline stage, deterministic stand-in model): hashed-bigram
@@ -2196,6 +2284,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
+        "tpch_pricing_summary": q_tpch_pricing_summary,
+        "tpch_shipping_priority": q_tpch_shipping_priority,
+        "events_props_extract": q_events_props_extract,
         "ann_cosine_pairs": q_ann_cosine_pairs,
         "ivf_recall_report": q_ivf_recall_report,
         "ivf_topk": q_ivf_topk,
@@ -3171,6 +3262,53 @@ SELECT event_type,
          AS n_active_hours
 FROM events
 GROUP BY 1, 2
+""",
+        # decimal-exact sums mirror _dec_sum: per-row double products
+        # are IEEE-identical, the decimal accumulation is order-free
+        "tpch_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(30,12))) AS DOUBLE), 6)
+    AS sum_qty,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,12))) AS DOUBLE), 6)
+    AS sum_base_price,
+  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                      AS DECIMAL(30,12))) AS DOUBLE), 6) AS sum_disc_price,
+  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+                      AS DECIMAL(30,12))) AS DOUBLE), 6) AS sum_charge,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(30,12))) AS DOUBLE)
+        / count(*), 6) AS avg_qty,
+  round(CAST(sum(CAST(l_discount AS DECIMAL(30,12))) AS DOUBLE)
+        / count(*), 6) AS avg_disc,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+""",
+        "tpch_shipping_priority": """
+SELECT o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o.o_orderpriority,
+       round(CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                           AS DECIMAL(30,12))) AS DOUBLE), 6) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2, 3
+""",
+        "events_props_extract": """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS min_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS max_k,
+       round(sum(CAST(json_extract(props, '$.k') AS BIGINT)) * 1.0
+             / count(*), 6) AS avg_k
+FROM events
+GROUP BY 1
 """,
         # the as-of gate uses DuckDB's NATIVE ASOF JOIN — the engine's
         # union-and-forward-fill plan vs a reference implementation of
