@@ -64,6 +64,16 @@ HEADLINE = [
     "decontaminate",
     "avi_video_dedup",
     "exact_span_dedup",
+    # round-4 session-2 tiers (pq_topk excluded like ivf_topk: codebook
+    # TRAINING dominates at bench scale and is a one-off index build,
+    # not per-query work)
+    "cdc_chunk_dedup",
+    "rescale_dedup",
+    "events_asof_join",
+    "events_range_join",
+    "tpch_pricing_summary",
+    "tpch_shipping_priority",
+    "events_props_extract",
 ]
 
 
