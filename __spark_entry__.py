@@ -929,6 +929,31 @@ def _dec_sum(c):
     return F.sum(c.cast("decimal(30,12)"))
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 retrieval (operators/retrieval.py): the eval-set
+    docs (the decontamination subset, doc_id % 29 == 0) as queries
+    against the full corpus, self excluded. The oracle recomputes
+    tf/df/dl, the corpus scalars, the 6dp-rounded idf (ln never feeds
+    raw arithmetic — the one libm call is rounded first), every
+    per-term contribution with pinned parenthesization, the decimal-
+    exact per-pair sum, and the (rounded score, id) ranking. Near-dups
+    of eval docs rank at the top — retrieval is the review tier
+    between decontamination flags and deletion."""
+    from dedup_spark.operators.retrieval import bm25_topk
+
+    docs = _docs(spark, sf_dir)
+    # max_df_ratio=1.0: the synthetic corpus has a 31-term vocabulary
+    # with median df 0.78N — the production 0.5 prune would leave ONE
+    # term. At 1.0, dl/tf normalization does the ranking work; only
+    # df==N terms (present in every doc) drop.
+    return bm25_topk(
+        docs,
+        docs.filter(F.col("doc_id") % DECON_MOD == 0),
+        k=TOPK,
+        max_df_ratio=1.0,
+    )
+
+
 def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 (pricing summary) over the lineitem table — the
     classic one-scan map-side-combinable aggregate, demonstrating the
@@ -2284,6 +2309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
+        "bm25_topk": q_bm25_topk,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_shipping_priority": q_tpch_shipping_priority,
         "events_props_extract": q_events_props_extract,
@@ -3262,6 +3288,54 @@ SELECT event_type,
          AS n_active_hours
 FROM events
 GROUP BY 1, 2
+""",
+        # BM25: idf rounded to 6dp BEFORE scoring (ln is the one libm
+        # call that may differ by 1 ulp across engines), per-term
+        # contribution parenthesized identically to the engine
+        # expression, decimal-exact per-pair sum, rounded-score rank
+        "bm25_topk": f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS arr FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+),
+tf AS (
+  SELECT doc_id, u.term, CAST(count(*) AS BIGINT) AS tf
+  FROM t, UNNEST(arr) AS u(term) GROUP BY 1, 2
+),
+dl AS (SELECT doc_id, len(arr) AS dl FROM t),
+st AS (SELECT count(*) AS n, sum(dl) AS sdl FROM dl),
+idf AS (
+  SELECT term,
+         round(ln((st.n - d.df + 0.5) / (d.df + 0.5) + 1.0), 6) AS idf
+  FROM (SELECT term, count(*) AS df FROM tf GROUP BY 1) d, st
+  WHERE d.df < st.n * 1.0
+),
+q AS (
+  SELECT DISTINCT doc_id AS query_id, u.term
+  FROM t, UNNEST(arr) AS u(term)
+  WHERE doc_id % {DECON_MOD} = 0
+),
+c AS (
+  SELECT q.query_id, tf.doc_id AS neighbor_id,
+         CAST(i.idf * ((tf.tf * 2.2::DOUBLE) /
+              (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE *
+               (dl.dl / (st.sdl / st.n))))) AS DECIMAL(30,12)) AS contrib
+  FROM q
+  JOIN idf i USING (term)
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id, st
+  WHERE tf.doc_id <> q.query_id
+),
+s AS (
+  SELECT query_id, neighbor_id,
+         round(CAST(sum(contrib) AS DOUBLE), 6) AS score
+  FROM c GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, score,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
+FROM s
+QUALIFY rnk <= {TOPK}
 """,
         # decimal-exact sums mirror _dec_sum: per-row double products
         # are IEEE-identical, the decimal accumulation is order-free
