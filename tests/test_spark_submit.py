@@ -142,3 +142,76 @@ def test_spark_submit_mixture_job_end_to_end(tmp_path):
         f"SELECT sum(mix_weight) FROM '{out_dir}/source_mixing/*.parquet'"
     ).fetchone()[0]
     assert abs(w - 1.0) < 1e-4
+
+
+def test_spark_submit_clean_job_end_to_end(tmp_path):
+    """The corpus-cleaning job (jobs/clean_job.py) through the same
+    cluster deployment path: span excision trims BOTH carriers of a
+    shared run, drops the mostly-duplicated doc, decontamination drops
+    the eval-matching doc, and the report's arithmetic checks out from
+    OUTSIDE Spark."""
+    import pandas as pd
+
+    shared = " ".join(f"w{i}" for i in range(15))
+    uniq = [" ".join(f"u{d}x{i}" for i in range(30)) for d in range(3)]
+    evaltxt = " ".join(f"e{i}" for i in range(20))
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": [
+                f"{uniq[0]} {shared}",        # carrier 1: trimmed
+                f"{shared} {uniq[1]}",        # carrier 2: trimmed
+                shared,                        # fully covered: DROPPED
+                uniq[2],                       # untouched
+                evaltxt + " tail words here", # contaminated: DROPPED
+                "tiny doc",                    # sub-k: untouched
+            ],
+        }
+    )
+    in_dir = tmp_path / "docs.parquet"
+    docs.to_parquet(in_dir, index=False)
+    ev_dir = tmp_path / "eval.parquet"
+    pd.DataFrame({"doc_id": [100], "text": [evaltxt]}).to_parquet(
+        ev_dir, index=False
+    )
+    out_dir = tmp_path / "cleaned"
+    zpath = _zip_package(tmp_path)
+
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["PYSPARK_PYTHON"] = sys.executable
+    proc = subprocess.run(
+        [
+            SPARK_SUBMIT,
+            "--master", "local[2]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", str(zpath),
+            str(REPO / "jobs" / "clean_job.py"),
+            "--input", str(in_dir),
+            "--output", str(out_dir),
+            "--eval-set", str(ev_dir),
+            "--max-dup-fraction", "0.9",
+        ],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    report = json.loads(
+        [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    got = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{out_dir}/*.parquet'"
+        ).fetchall()
+    )
+    assert set(got) == {1, 2, 4, 6}  # 3 dropped (dup), 5 dropped (contam)
+    assert got[1] == uniq[0] and got[2] == uniq[1]  # spans excised
+    assert got[4] == uniq[2] and got[6] == "tiny doc"
+    assert report["docs_in"] == 6 and report["docs_out"] == 4
+    assert report["dropped_mostly_dup"] == 1
+    assert report["dropped_contaminated"] == 1
+    assert report["words_excised"] == 45  # 15 words x 3 carriers
