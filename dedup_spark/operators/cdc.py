@@ -42,46 +42,52 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 
+def cdc_chunks(data: bytes, divisor: int = 64) -> list[tuple[int, int, str]]:
+    """Pure chunker: [(start, end, md5hex)] half-open byte ranges
+    covering ``data`` exactly. Boundaries are found vectorized (one
+    pair-value array + one ``np.where``); only the md5 loop is
+    per-chunk, bounded by len/divisor. The final partial chunk is
+    emitted unless a boundary lands exactly on the last byte.
+    Property-tested in tests/test_properties.py."""
+    b = np.frombuffer(data, dtype=np.uint8)
+    n = b.shape[0]
+    if n == 0:
+        return []
+    pair = b[:-1].astype(np.int32) * 256 + b[1:]
+    # pair j covers bytes (j+1, j+2) 1-based -> chunk ends after j+2
+    ends = (np.where(pair % divisor == 0)[0] + 2).tolist()
+    if not ends or ends[-1] != n:
+        ends.append(n)
+    hx = data.hex().upper()
+    out, start = [], 0
+    for e in ends:
+        out.append(
+            (start, e, hashlib.md5(hx[2 * start : 2 * e].encode()).hexdigest())
+        )
+        start = e
+    return out
+
+
 def chunk_records(
     df: DataFrame,
     id_col: str = "video_id",
     bytes_col: str = "bytes",
     divisor: int = 64,
 ) -> DataFrame:
-    """(id, chunk_idx, chunk_len, chunk_md5) — one row per CDC chunk.
-
-    Boundaries are found vectorized (one pair-value array + one
-    ``np.where`` per blob); only the md5 loop is per-chunk, bounded by
-    blob_len/divisor. The final partial chunk is emitted unless a
-    boundary lands exactly on the last byte.
-    """
+    """(id, chunk_idx, chunk_len, chunk_md5) — one row per CDC chunk
+    (see ``cdc_chunks`` for the boundary rule)."""
 
     def _chunks(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, idxs, lens, md5s = [], [], [], []
             for rid, data in zip(pdf[id_col], pdf[bytes_col]):
-                b = np.frombuffer(bytes(data), dtype=np.uint8)
-                n = b.shape[0]
-                if n == 0:
-                    continue
-                pair = b[:-1].astype(np.int32) * 256 + b[1:]
-                # pair j covers bytes (j+1, j+2) 1-based -> chunk ends
-                # after byte j+2
-                ends = (np.where(pair % divisor == 0)[0] + 2).tolist()
-                if not ends or ends[-1] != n:
-                    ends.append(n)
-                start = 0
-                hx = bytes(data).hex().upper()
-                for ci, e in enumerate(ends):
+                for ci, (s, e, h) in enumerate(
+                    cdc_chunks(bytes(data), divisor)
+                ):
                     ids.append(rid)
                     idxs.append(ci)
-                    lens.append(e - start)
-                    md5s.append(
-                        hashlib.md5(
-                            hx[2 * start : 2 * e].encode()
-                        ).hexdigest()
-                    )
-                    start = e
+                    lens.append(e - s)
+                    md5s.append(h)
             yield pd.DataFrame(
                 {
                     id_col: pd.Series(ids, dtype="string"),

@@ -118,3 +118,59 @@ def test_jpeg_roundtrip_property(w, h, seed, quality):
     mse = float(((px.astype(np.float64) - back.astype(np.float64)) ** 2).mean())
     psnr = 999.0 if mse == 0 else 10.0 * np.log10(255.0**2 / mse)
     assert psnr >= 40.0
+
+
+# --- content-defined chunking (operators/cdc.py cdc_chunks) ----------
+
+
+@given(
+    data=st.binary(min_size=0, max_size=4096),
+    divisor=st.sampled_from([16, 64, 256]),
+)
+@settings(max_examples=60, deadline=None)
+def test_cdc_chunks_cover_exactly(data, divisor):
+    from dedup_spark.operators.cdc import cdc_chunks
+
+    ch = cdc_chunks(data, divisor)
+    if not data:
+        assert ch == []
+        return
+    # half-open ranges tile [0, n) exactly, in order, non-empty
+    assert ch[0][0] == 0 and ch[-1][1] == len(data)
+    for (s1, e1, _), (s2, e2, _) in zip(ch, ch[1:]):
+        assert e1 == s2
+    assert all(e > s for s, e, _ in ch)
+    # every interior cut satisfies the boundary rule; no interior
+    # position inside a chunk does
+    cuts = {e for _, e, _ in ch[:-1]}
+    for i in range(2, len(data) + 1):
+        hit = (data[i - 2] * 256 + data[i - 1]) % divisor == 0
+        if i < len(data):
+            assert (i in cuts) == hit
+    import hashlib as _hl
+
+    hx = data.hex().upper()
+    for s, e, h in ch:
+        assert h == _hl.md5(hx[2 * s : 2 * e].encode()).hexdigest()
+
+
+@given(
+    data=st.binary(min_size=64, max_size=2048),
+    prefix=st.binary(min_size=1, max_size=16),
+)
+@settings(max_examples=60, deadline=None)
+def test_cdc_resync_after_any_prefix(data, prefix):
+    """THE content-defined property: for any prepended prefix, chunk
+    hashes after the base's first boundary are preserved verbatim."""
+    from dedup_spark.operators.cdc import cdc_chunks
+
+    base = cdc_chunks(data, 64)
+    var = cdc_chunks(prefix + data, 64)
+    if len(base) <= 1:
+        return  # no interior boundary to resync at
+    # the prefix can only perturb content up to the base's first cut:
+    # every base chunk AFTER the first must appear in the variant
+    tail = [h for _, _, h in base[1:]]
+    var_h = [h for _, _, h in var]
+    # suffix of var_h must equal tail (same order, same hashes)
+    assert var_h[-len(tail):] == tail
