@@ -1789,6 +1789,25 @@ def q_crossformat_pixel_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF metadata at scan speed (multimodal/exif.py): camera
+    make/model/orientation/dims/timestamp parsed from the JPEG APP1
+    TIFF container WITHOUT decoding a pixel — the metadata projection
+    that gates the expensive decode tier at 100 TB. The engine runs
+    the GENERAL parser (segment walk, either TIFF endian, any entry
+    order, inline/offset values); the oracle re-decodes every field
+    from raw hex at the writer-asserted fixed offsets — little- AND
+    big-endian corpora, plus exif-less JPEGs and a non-JPEG row that
+    must survive as has_exif=false (the avi_video_dedup gate
+    pattern)."""
+    from dedup_spark.fixtures.materialize import fixture_exif_parquet
+    from dedup_spark.multimodal.exif import exif_metadata
+
+    df = spark.read.parquet(fixture_exif_parquet())
+    # the engine sees bytes only — `endian` is the oracle's ground truth
+    return exif_metadata(df.drop("endian"))
+
+
 def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking dedup (operators/cdc.py — the LBFS/
     FastCDC storage recipe at sub-file granularity): every rawv video
@@ -2329,6 +2348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_roundtrip_fidelity": q_jpeg_roundtrip_fidelity,
         "crossformat_pixel_dedup": q_crossformat_pixel_dedup,
         "rescale_dedup": q_rescale_dedup,
+        "exif_metadata": q_exif_metadata,
         "cdc_chunk_dedup": q_cdc_chunk_dedup,
         "multimodal_dedup_pipeline": q_multimodal_dedup_pipeline,
         "video_frame_dedup": q_video_frame_dedup,
@@ -2439,9 +2459,13 @@ nr AS (SELECT doc_id, sqrt(CAST(sum(cnt*cnt) AS DOUBLE)) AS nrm
     )
 
     avi_fixture = f"read_parquet('{fixture_avi_parquet()}')"
-    from dedup_spark.fixtures.materialize import fixture_rescale_parquet
+    from dedup_spark.fixtures.materialize import (
+        fixture_exif_parquet,
+        fixture_rescale_parquet,
+    )
 
     rescale_fixture = f"read_parquet('{fixture_rescale_parquet()}')"
+    exif_fixture = f"read_parquet('{fixture_exif_parquet()}')"
     # 256-row hex-pair lookup: this DuckDB build cannot slice or hash
     # BLOBs, so the audio oracle reconstructs int16 samples from
     # hex(bytes) via substring + this VALUES join
@@ -2629,6 +2653,38 @@ WITH v AS (
 SELECT vid AS image_id, TRUE AS ok,
        min(vid) OVER (PARTITION BY tier, bytes) AS cluster_id
 FROM v
+""",
+        # EXIF: re-decode every field from raw hex at the writer-
+        # asserted fixed offsets (TIFF block at abs 12; value-area
+        # layout pinned by build_exif_app1's asserts) — little-endian
+        # ints are byte-reversed hex, ASCII via decode(unhex());
+        # the engine's GENERAL walker must reproduce all of it
+        "exif_metadata": f"""
+WITH fx AS (SELECT image_id, hex(bytes) AS hx, endian FROM {exif_fixture})
+SELECT image_id,
+  endian <> 'none' AS has_exif,
+  CASE WHEN endian = 'none' THEN NULL
+       ELSE decode(unhex(substr(hx, 197, 20))) END AS make,
+  CASE WHEN endian = 'none' THEN NULL
+       ELSE decode(unhex(substr(hx, 219, 20))) END AS model,
+  CAST(CASE WHEN endian = 'II'
+            THEN ('0x' || substr(hx, 159, 2) || substr(hx, 157, 2))::INT
+            WHEN endian = 'MM'
+            THEN ('0x' || substr(hx, 157, 4))::INT
+       END AS INT) AS orientation,
+  CAST(CASE WHEN endian = 'II'
+            THEN ('0x' || substr(hx, 67, 2) || substr(hx, 65, 2)
+                       || substr(hx, 63, 2) || substr(hx, 61, 2))::BIGINT
+            WHEN endian = 'MM' THEN ('0x' || substr(hx, 61, 8))::BIGINT
+       END AS BIGINT) AS exif_width,
+  CAST(CASE WHEN endian = 'II'
+            THEN ('0x' || substr(hx, 91, 2) || substr(hx, 89, 2)
+                       || substr(hx, 87, 2) || substr(hx, 85, 2))::BIGINT
+            WHEN endian = 'MM' THEN ('0x' || substr(hx, 85, 8))::BIGINT
+       END AS BIGINT) AS exif_height,
+  CASE WHEN endian = 'none' THEN NULL
+       ELSE decode(unhex(substr(hx, 241, 38))) END AS taken_at
+FROM fx
 """,
         # CDC: recompute every boundary (byte-pair % divisor over
         # hex(bytes) via the 256-row lookup), every chunk md5 (hex

@@ -74,6 +74,7 @@ HEADLINE = [
     "tpch_pricing_summary",
     "tpch_shipping_priority",
     "events_props_extract",
+    "exif_metadata",
     # bm25_topk excluded: the synthetic corpus's 31-term vocabulary
     # forces max_df_ratio=1.0, making every query match ~every doc
     # (~21M contribution rows at sf0.1) — a corpus artifact, not the

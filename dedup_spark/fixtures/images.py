@@ -317,6 +317,45 @@ def to_spark(spark, corpus: Corpus):
     return imgs, truth
 
 
+def generate_exif_corpus(n: int = 40, seed: int = 13) -> pd.DataFrame:
+    """JPEGs with fixed-layout EXIF APP1 (multimodal/exif.py): even
+    indices little-endian TIFF, odd big-endian; every 10th image has
+    NO exif segment and the last row is a PPM (non-JPEG) — both must
+    survive as has_exif=false. Fields are deterministic functions of
+    the index so the oracle can recompute them from raw bytes alone.
+    Columns: (image_id, bytes, w, h, fmt, endian)."""
+    from dedup_spark.multimodal.exif import build_exif_app1, insert_app1
+    from dedup_spark.multimodal.jpeg import encode_jpeg
+
+    rows = []
+    for i in range(n):
+        iid = f"x{i:04d}"
+        px = _smooth_image(f"{seed}:{iid}".encode(), 16, 16)
+        if i == n - 1:
+            rows.append((iid, encode_ppm(px), 16, 16, "ppm", "none"))
+            continue
+        jp = encode_jpeg(px, quality=99)
+        if i % 10 == 5:
+            rows.append((iid, jp, 16, 16, "jpeg", "none"))
+            continue
+        big = i % 2 == 1
+        app1 = build_exif_app1(
+            make=f"maker-{i:04d}",
+            model=f"model-{i:04d}",
+            orientation=(i % 8) + 1,
+            width=16,
+            height=16,
+            datetime=f"2024:01:{(i % 28) + 1:02d} {i % 24:02d}:00:00",
+            big_endian=big,
+        )
+        rows.append(
+            (iid, insert_app1(jp, app1), 16, 16, "jpeg", "MM" if big else "II")
+        )
+    return pd.DataFrame(
+        rows, columns=["image_id", "bytes", "w", "h", "fmt", "endian"]
+    )
+
+
 RESCALE_DIMS = (64, 32, 16)
 
 

@@ -144,6 +144,36 @@ def fixture_audio_parquet(params: dict | None = None) -> str:
     return _write_atomic(table, out_dir, path)
 
 
+EXIF_PARAMS = dict(n=40, seed=13)
+
+
+def fixture_exif_parquet(params: dict | None = None) -> str:
+    """Pinned EXIF-bearing JPEG corpus (fixtures/images.py
+    generate_exif_corpus) — the metadata-at-scan-speed golden file."""
+    import pyarrow as pa
+
+    from dedup_spark.fixtures.images import generate_exif_corpus
+
+    params = dict(EXIF_PARAMS if params is None else params)
+    out_dir = os.path.join(FIXTURE_ROOT, "exif_" + _params_tag(params))
+    path = os.path.join(out_dir, "exif.parquet")
+    if os.path.exists(path):
+        return path
+    pdf = generate_exif_corpus(**params)
+    table = pa.Table.from_arrays(
+        [
+            pa.array(pdf["image_id"], type=pa.string()),
+            pa.array(pdf["bytes"], type=pa.binary()),
+            pa.array(pdf["w"], type=pa.int32()),
+            pa.array(pdf["h"], type=pa.int32()),
+            pa.array(pdf["fmt"], type=pa.string()),
+            pa.array(pdf["endian"], type=pa.string()),
+        ],
+        names=["image_id", "bytes", "w", "h", "fmt", "endian"],
+    )
+    return _write_atomic(table, out_dir, path)
+
+
 RESCALE_PARAMS = dict(n_src=40, seed=7)
 
 

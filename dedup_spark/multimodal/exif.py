@@ -1,0 +1,214 @@
+"""EXIF/TIFF metadata: standards-shaped writer + GENERAL parser.
+
+Public spec: EXIF is a TIFF 6.0 container inside a JPEG APP1 segment
+("Exif\\0\\0" + TIFF header + IFD chain; CIPA DC-008 / TIFF 6.0). The
+pipeline value: camera metadata (orientation, dimensions, timestamps,
+make/model) extracted at SCAN SPEED without decoding a single pixel —
+at 100 TB the metadata pass is a projection, the decode pass is the
+expensive tier you gate behind it.
+
+Same architecture as the MJPEG-in-AVI tier (multimodal/avi.py): the
+WRITER is fixed-layout (every ASCII field fixed-width, tags sorted, so
+each field's absolute byte offset in the file is a constant the writer
+asserts — the oracle slices hex at those offsets and re-decodes every
+value, both endians); the PARSER is general (walks JPEG segments to
+any APP1, honors the TIFF endian flag, walks IFD entries of any order,
+inline vs offset values, unknown tags skipped) — so the gate proves
+the general walker against independently recomputed bytes.
+
+Both byte orders are exercised: even image indices write
+little-endian ("II") TIFF, odd write big-endian ("MM").
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+# IFD0 tags (TIFF 6.0 / EXIF): fixed writer layout, sorted by tag id
+TAG_WIDTH = 0x0100  # LONG
+TAG_HEIGHT = 0x0101  # LONG
+TAG_MAKE = 0x010F  # ASCII, fixed 11 bytes incl NUL ("maker-%04d")
+TAG_MODEL = 0x0110  # ASCII, fixed 11 bytes incl NUL ("model-%04d")
+TAG_ORIENTATION = 0x0112  # SHORT
+TAG_DATETIME = 0x0132  # ASCII, fixed 20 bytes incl NUL
+
+MAKE_LEN = 11
+MODEL_LEN = 11
+DT_LEN = 20
+N_ENTRIES = 6
+# TIFF-relative layout (writer-asserted): header 8 B, count 2 B,
+# 6 entries x 12 B, next-IFD 4 B -> value area at offset 86
+_VAL0 = 8 + 2 + N_ENTRIES * 12 + 4
+OFF_MAKE = _VAL0
+OFF_MODEL = _VAL0 + MAKE_LEN
+OFF_DT = _VAL0 + MAKE_LEN + MODEL_LEN
+TIFF_LEN = _VAL0 + MAKE_LEN + MODEL_LEN + DT_LEN
+# APP1 = FF E1 <len:2> "Exif\0\0" <tiff>; inserted right after SOI, so
+# the TIFF block starts at absolute file offset 12
+APP1_HDR = 10  # 2 marker + 2 length + 6 signature
+TIFF_ABS = 2 + APP1_HDR
+
+
+def build_exif_app1(
+    make: str,
+    model: str,
+    orientation: int,
+    width: int,
+    height: int,
+    datetime: str,
+    big_endian: bool = False,
+) -> bytes:
+    """Fixed-layout EXIF APP1 segment. ASCII fields must be exactly
+    their fixed width minus the NUL; offsets are asserted so the
+    oracle's hex-slice positions are guaranteed."""
+    e = ">" if big_endian else "<"
+    assert len(make) == MAKE_LEN - 1 and len(model) == MODEL_LEN - 1
+    assert len(datetime) == DT_LEN - 1
+
+    def entry(tag: int, typ: int, count: int, value: bytes) -> bytes:
+        assert len(value) <= 4
+        return struct.pack(e + "HHI", tag, typ, count) + value.ljust(4, b"\0")
+
+    hdr = (b"MM" if big_endian else b"II") + struct.pack(e + "HI", 42, 8)
+    entries = [
+        entry(TAG_WIDTH, 4, 1, struct.pack(e + "I", width)),
+        entry(TAG_HEIGHT, 4, 1, struct.pack(e + "I", height)),
+        entry(TAG_MAKE, 2, MAKE_LEN, struct.pack(e + "I", OFF_MAKE)),
+        entry(TAG_MODEL, 2, MODEL_LEN, struct.pack(e + "I", OFF_MODEL)),
+        entry(TAG_ORIENTATION, 3, 1, struct.pack(e + "H", orientation) + b"\0\0"),
+        entry(TAG_DATETIME, 2, DT_LEN, struct.pack(e + "I", OFF_DT)),
+    ]
+    ifd = struct.pack(e + "H", N_ENTRIES) + b"".join(entries) + struct.pack(
+        e + "I", 0
+    )
+    vals = (
+        make.encode() + b"\0" + model.encode() + b"\0" + datetime.encode() + b"\0"
+    )
+    tiff = hdr + ifd + vals
+    assert len(tiff) == TIFF_LEN
+    assert tiff.index(make.encode()) == OFF_MAKE
+    payload = b"Exif\0\0" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def insert_app1(jpeg: bytes, app1: bytes) -> bytes:
+    """Insert an APP1 segment right after SOI (the standard position)."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    return jpeg[:2] + app1 + jpeg[2:]
+
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4}
+
+
+def parse_exif(jpeg: bytes) -> dict | None:
+    """GENERAL parser: JPEG segment walk → first Exif APP1 → TIFF IFD0
+    walk (either endian, entries in any order, inline or offset
+    values, unknown tags skipped). Returns {tag_id: value} or None if
+    no Exif APP1 exists. Malformed structures raise ValueError."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    i, n = 2, len(jpeg)
+    tiff = None
+    while i + 4 <= n:
+        if jpeg[i] != 0xFF:
+            raise ValueError("marker expected")
+        marker = jpeg[i + 1]
+        if marker == 0xDA or marker == 0xD9:  # scan data / EOI: stop
+            break
+        seg_len = struct.unpack(">H", jpeg[i + 2 : i + 4])[0]
+        seg = jpeg[i + 4 : i + 2 + seg_len]
+        if marker == 0xE1 and seg[:6] == b"Exif\0\0":
+            tiff = seg[6:]
+            break
+        i += 2 + seg_len
+    if tiff is None:
+        return None
+    order = tiff[:2]
+    if order == b"II":
+        e = "<"
+    elif order == b"MM":
+        e = ">"
+    else:
+        raise ValueError("bad TIFF byte order")
+    magic, ifd_off = struct.unpack(e + "HI", tiff[2:8])
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    count = struct.unpack(e + "H", tiff[ifd_off : ifd_off + 2])[0]
+    out: dict[int, object] = {}
+    for k in range(count):
+        off = ifd_off + 2 + 12 * k
+        tag, typ, cnt = struct.unpack(e + "HHI", tiff[off : off + 8])
+        if typ not in _TYPE_SIZE:
+            continue  # unknown type: skip (general-walker contract)
+        nbytes = _TYPE_SIZE[typ] * cnt
+        if nbytes <= 4:
+            raw = tiff[off + 8 : off + 8 + nbytes]
+        else:
+            voff = struct.unpack(e + "I", tiff[off + 8 : off + 12])[0]
+            raw = tiff[voff : voff + nbytes]
+        if typ == 2:  # ASCII, NUL-terminated
+            out[tag] = raw.split(b"\0")[0].decode("ascii", "replace")
+        elif typ == 3:
+            vals = struct.unpack(e + f"{cnt}H", raw)
+            out[tag] = vals[0] if cnt == 1 else list(vals)
+        elif typ == 4:
+            vals = struct.unpack(e + f"{cnt}I", raw)
+            out[tag] = vals[0] if cnt == 1 else list(vals)
+        else:  # BYTE
+            out[tag] = raw[0] if cnt == 1 else list(raw)
+    return out
+
+
+EXIF_SCHEMA = (
+    "image_id string, has_exif boolean, make string, model string, "
+    "orientation int, exif_width long, exif_height long, taken_at string"
+)
+
+
+def exif_metadata(
+    df: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Metadata-at-scan-speed projection: one Arrow-batched pass, no
+    pixel decode. Images without an Exif APP1 (or non-JPEGs) yield
+    has_exif=false with null fields — the job survives, the 10^12-row
+    invariant."""
+
+    def _parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rid, data in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    tags = parse_exif(bytes(data))
+                except ValueError:
+                    tags = None
+                if not tags:
+                    rows.append((rid, False, None, None, None, None, None, None))
+                    continue
+                rows.append(
+                    (
+                        rid,
+                        True,
+                        tags.get(TAG_MAKE),
+                        tags.get(TAG_MODEL),
+                        tags.get(TAG_ORIENTATION),
+                        tags.get(TAG_WIDTH),
+                        tags.get(TAG_HEIGHT),
+                        tags.get(TAG_DATETIME),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "has_exif", "make", "model", "orientation",
+                    "exif_width", "exif_height", "taken_at",
+                ],
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(_parse, schema=EXIF_SCHEMA)

@@ -1,0 +1,111 @@
+"""EXIF writer/parser (multimodal/exif.py): round-trip, endian and
+entry-order generality, graceful no-exif handling, and decoder
+compatibility of APP1-bearing JPEGs."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from dedup_spark.fixtures.images import generate_exif_corpus
+from dedup_spark.multimodal.exif import (
+    TAG_DATETIME,
+    TAG_HEIGHT,
+    TAG_MAKE,
+    TAG_MODEL,
+    TAG_ORIENTATION,
+    TAG_WIDTH,
+    build_exif_app1,
+    insert_app1,
+    parse_exif,
+)
+from dedup_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+
+def _jpeg():
+    rng = np.random.default_rng(5)
+    return encode_jpeg(
+        rng.integers(0, 256, (16, 16, 3), dtype=np.uint8), quality=99
+    )
+
+
+@pytest.mark.parametrize("big", [False, True])
+def test_roundtrip_both_endians(big):
+    app1 = build_exif_app1(
+        "maker-0007", "model-0007", 6, 640, 480,
+        "2024:01:07 07:00:00", big_endian=big,
+    )
+    tags = parse_exif(insert_app1(_jpeg(), app1))
+    assert tags[TAG_MAKE] == "maker-0007"
+    assert tags[TAG_MODEL] == "model-0007"
+    assert tags[TAG_ORIENTATION] == 6
+    assert tags[TAG_WIDTH] == 640 and tags[TAG_HEIGHT] == 480
+    assert tags[TAG_DATETIME] == "2024:01:07 07:00:00"
+
+
+def test_parser_handles_any_entry_order_and_unknown_tags():
+    """The parser is a GENERAL IFD walker, not a layout reader: shuffle
+    the writer's entries and splice in an unknown tag + unknown type —
+    known fields must still parse."""
+    app1 = build_exif_app1(
+        "maker-0001", "model-0001", 3, 16, 16, "2024:01:01 01:00:00"
+    )
+    tiff = bytearray(app1[10:])
+    count = struct.unpack("<H", tiff[8:10])[0]
+    entries = [bytes(tiff[10 + 12 * k : 22 + 12 * k]) for k in range(count)]
+    extra = [
+        struct.pack("<HHI", 0x9999, 3, 1) + struct.pack("<H", 7) + b"\0\0",
+        struct.pack("<HHI", 0x8888, 13, 1) + b"\0\0\0\0",  # unknown TYPE
+    ]
+    shuffled = list(reversed(entries)) + extra
+    new_ifd = (
+        struct.pack("<H", len(shuffled)) + b"".join(shuffled)
+        + struct.pack("<I", 0)
+    )
+    # value area moves: old IFD was count entries; new adds 2 -> value
+    # offsets in ASCII entries must shift by 24
+    grow = 12 * 2
+    fixed = bytearray()
+    for ent in shuffled:
+        tag, typ, cnt = struct.unpack("<HHI", ent[:8])
+        if typ == 2:  # ASCII offsets point into the value area
+            off = struct.unpack("<I", ent[8:12])[0] + grow
+            ent = ent[:8] + struct.pack("<I", off)
+        fixed.extend(ent)
+    new_ifd = (
+        struct.pack("<H", len(shuffled)) + bytes(fixed) + struct.pack("<I", 0)
+    )
+    new_tiff = bytes(tiff[:8]) + new_ifd + bytes(tiff[10 + 12 * count + 4 :])
+    payload = b"Exif\0\0" + new_tiff
+    new_app1 = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+    tags = parse_exif(insert_app1(_jpeg(), new_app1))
+    assert tags[TAG_MAKE] == "maker-0001"
+    assert tags[TAG_ORIENTATION] == 3
+    assert tags[0x9999] == 7  # unknown TAG still surfaces
+    assert 0x8888 not in tags  # unknown TYPE skipped
+
+
+def test_no_exif_and_non_jpeg():
+    assert parse_exif(_jpeg()) is None
+    with pytest.raises(ValueError):
+        parse_exif(b"P6\n1 1\n255\n\0\0\0")
+
+
+def test_app1_does_not_break_pixel_decode():
+    """Inserting APP1 must leave the image decodable by the from-
+    scratch JPEG decoder (it skips APPn) with identical pixels."""
+    jp = _jpeg()
+    app1 = build_exif_app1(
+        "maker-0002", "model-0002", 1, 16, 16, "2024:01:02 02:00:00"
+    )
+    assert np.array_equal(decode_jpeg(insert_app1(jp, app1)), decode_jpeg(jp))
+
+
+def test_corpus_shape():
+    pdf = generate_exif_corpus(n=12)
+    assert len(pdf) == 12
+    kinds = pdf["endian"].value_counts().to_dict()
+    assert kinds.get("none", 0) >= 2  # exif-less jpeg + ppm row
+    assert kinds.get("II", 0) > 0 and kinds.get("MM", 0) > 0
