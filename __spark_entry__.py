@@ -930,27 +930,24 @@ def _dec_sum(c):
 
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-5 retrieval (operators/retrieval.py): the eval-set
-    docs (the decontamination subset, doc_id % 29 == 0) as queries
-    against the full corpus, self excluded. The oracle recomputes
-    tf/df/dl, the corpus scalars, the 6dp-rounded idf (ln never feeds
-    raw arithmetic — the one libm call is rounded first), every
-    per-term contribution with pinned parenthesization, the decimal-
-    exact per-pair sum, and the (rounded score, id) ranking. Near-dups
-    of eval docs rank at the top — retrieval is the review tier
-    between decontamination flags and deletion."""
+    """BM25 top-5 retrieval (operators/retrieval.py) at the PRODUCTION
+    prune config (max_df_ratio=0.5) over a pinned Zipf-vocabulary
+    corpus (the driver's documents table has a 31-term vocabulary with
+    median df 0.78N — degenerate for a df prune; the Zipf fixture has
+    ~5k terms and planted near-dup pairs, every 20th doc a 10%-mutated
+    copy). Queries = docs 18 mod 100 — each has a planted 10%-mutated copy at +1, self excluded. The oracle
+    recomputes tf/df/dl, the corpus scalars, the 6dp-rounded idf (ln
+    never feeds raw arithmetic — the one libm call is rounded first),
+    every per-term contribution with pinned parenthesization, the
+    decimal-exact per-pair sum, and the (rounded score, id) ranking.
+    The planted mutated neighbors rank at the top — retrieval is the
+    review tier between decontamination flags and deletion."""
+    from dedup_spark.fixtures.materialize import fixture_zipf_docs_parquet
     from dedup_spark.operators.retrieval import bm25_topk
 
-    docs = _docs(spark, sf_dir)
-    # max_df_ratio=1.0: the synthetic corpus has a 31-term vocabulary
-    # with median df 0.78N — the production 0.5 prune would leave ONE
-    # term. At 1.0, dl/tf normalization does the ranking work; only
-    # df==N terms (present in every doc) drop.
+    docs = spark.read.parquet(fixture_zipf_docs_parquet())
     return bm25_topk(
-        docs,
-        docs.filter(F.col("doc_id") % DECON_MOD == 0),
-        k=TOPK,
-        max_df_ratio=1.0,
+        docs, docs.filter(F.col("doc_id") % 100 == 18), k=TOPK
     )
 
 
@@ -2466,6 +2463,9 @@ nr AS (SELECT doc_id, sqrt(CAST(sum(cnt*cnt) AS DOUBLE)) AS nrm
 
     rescale_fixture = f"read_parquet('{fixture_rescale_parquet()}')"
     exif_fixture = f"read_parquet('{fixture_exif_parquet()}')"
+    from dedup_spark.fixtures.materialize import fixture_zipf_docs_parquet
+
+    zipf_fixture = f"read_parquet('{fixture_zipf_docs_parquet()}')"
     # 256-row hex-pair lookup: this DuckDB build cannot slice or hash
     # BLOBs, so the audio oracle reconstructs int16 samples from
     # hex(bytes) via substring + this VALUES join
@@ -3351,7 +3351,7 @@ GROUP BY 1, 2
         # expression, decimal-exact per-pair sum, rounded-score rank
         "bm25_topk": f"""
 WITH t AS (
-  SELECT doc_id, {_TOKS} AS arr FROM documents
+  SELECT doc_id, {_TOKS} AS arr FROM {zipf_fixture}
   WHERE text IS NOT NULL AND trim(text) <> ''
 ),
 tf AS (
@@ -3364,12 +3364,12 @@ idf AS (
   SELECT term,
          round(ln((st.n - d.df + 0.5) / (d.df + 0.5) + 1.0), 6) AS idf
   FROM (SELECT term, count(*) AS df FROM tf GROUP BY 1) d, st
-  WHERE d.df < st.n * 1.0
+  WHERE d.df < st.n * 0.5
 ),
 q AS (
   SELECT DISTINCT doc_id AS query_id, u.term
   FROM t, UNNEST(arr) AS u(term)
-  WHERE doc_id % {DECON_MOD} = 0
+  WHERE doc_id % 100 = 18
 ),
 c AS (
   SELECT q.query_id, tf.doc_id AS neighbor_id,

@@ -75,10 +75,8 @@ HEADLINE = [
     "tpch_shipping_priority",
     "events_props_extract",
     "exif_metadata",
-    # bm25_topk excluded: the synthetic corpus's 31-term vocabulary
-    # forces max_df_ratio=1.0, making every query match ~every doc
-    # (~21M contribution rows at sf0.1) — a corpus artifact, not the
-    # operator's scale shape; the sf0.01 oracle gate covers it
+    "bm25_topk",  # runs on the pinned Zipf fixture at the production
+    # df prune (sf-independent, like the image-fixture queries)
 ]
 
 

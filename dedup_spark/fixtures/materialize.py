@@ -144,6 +144,51 @@ def fixture_audio_parquet(params: dict | None = None) -> str:
     return _write_atomic(table, out_dir, path)
 
 
+ZIPF_PARAMS = dict(n_docs=2000, seed=29)
+
+
+def fixture_zipf_docs_parquet(params: dict | None = None) -> str:
+    """Pinned Zipf-vocabulary document corpus — a realistic term
+    distribution for the retrieval tier (the driver's synthetic
+    documents table has a 31-term vocabulary with median df 0.78N,
+    which degenerates BM25's df prune). ~5k-word vocab, Zipf-ranked
+    frequencies, every 20th doc a 10%-mutated copy of its predecessor
+    so retrieval has planted true positives. Deterministic from seed;
+    read by Spark and DuckDB alike."""
+    import numpy as np
+    import pyarrow as pa
+
+    params = dict(ZIPF_PARAMS if params is None else params)
+    out_dir = os.path.join(FIXTURE_ROOT, "zipf_" + _params_tag(params))
+    path = os.path.join(out_dir, "zipf_docs.parquet")
+    if os.path.exists(path):
+        return path
+    rng = np.random.default_rng(params["seed"])
+    vocab_n = 5000
+    ranks = np.arange(1, vocab_n + 1, dtype=np.float64)
+    p = 1.0 / ranks
+    p /= p.sum()
+    ids, texts = [], []
+    prev_words = None
+    for i in range(params["n_docs"]):
+        if prev_words is not None and i % 20 == 19:
+            words = list(prev_words)  # near-dup: mutate 10% of tokens
+            for j in rng.choice(len(words), max(1, len(words) // 10),
+                                replace=False):
+                words[j] = f"w{rng.choice(vocab_n, p=p)}"
+        else:
+            n_w = int(rng.integers(50, 200))
+            words = [f"w{k}" for k in rng.choice(vocab_n, n_w, p=p)]
+        ids.append(i)
+        texts.append(" ".join(words))
+        prev_words = words
+    table = pa.Table.from_arrays(
+        [pa.array(ids, type=pa.int64()), pa.array(texts, type=pa.string())],
+        names=["doc_id", "text"],
+    )
+    return _write_atomic(table, out_dir, path)
+
+
 EXIF_PARAMS = dict(n=40, seed=13)
 
 

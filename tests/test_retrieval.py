@@ -77,3 +77,18 @@ def test_max_df_prune_drops_common_terms(spark):
     }
     assert strict == {2, 3}
     assert loose == {2, 3, 4}
+
+
+def test_zipf_corpus_planted_neighbors_rank_first(spark):
+    """The driver-gate corpus: every query (doc 18 mod 100) must
+    retrieve its planted 10%-mutated copy (doc+1) at rank 1 under the
+    PRODUCTION prune — 20/20 on the pinned fixture."""
+    from dedup_spark.fixtures.materialize import fixture_zipf_docs_parquet
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(fixture_zipf_docs_parquet())
+    out = bm25_topk(
+        docs, docs.filter(F.col("doc_id") % 100 == 18), k=1
+    ).collect()
+    assert len(out) == 20
+    assert all(r.neighbor_id == r.query_id + 1 for r in out)
