@@ -1805,6 +1805,24 @@ def q_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exif_metadata(df.drop("endian"))
 
 
+def q_orientation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orientation-normalized pixel dedup (multimodal/exif.py): the
+    same photo stored under all 8 TIFF orientations has different
+    bytes, different DIMS (the non-square fixture transposes), a
+    different phash, and a different pixel buffer — no upstream tier
+    clusters it. Normalizing to display orientation before hashing
+    collapses all 8 into one cluster. Orientation arrives as a column
+    (the exif_metadata → decode chaining pattern); the fixture stores
+    the EXACT lossless inverse transform per orientation, so the
+    oracle pins the full value-checked assignment by source while the
+    engine derives it from pixels + orientation alone."""
+    from dedup_spark.fixtures.materialize import fixture_orientation_parquet
+    from dedup_spark.multimodal.exif import orientation_normalized_clusters
+
+    df = spark.read.parquet(fixture_orientation_parquet())
+    return orientation_normalized_clusters(df.drop("src_id"))
+
+
 def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking dedup (operators/cdc.py — the LBFS/
     FastCDC storage recipe at sub-file granularity): every rawv video
@@ -2346,6 +2364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crossformat_pixel_dedup": q_crossformat_pixel_dedup,
         "rescale_dedup": q_rescale_dedup,
         "exif_metadata": q_exif_metadata,
+        "orientation_dedup": q_orientation_dedup,
         "cdc_chunk_dedup": q_cdc_chunk_dedup,
         "multimodal_dedup_pipeline": q_multimodal_dedup_pipeline,
         "video_frame_dedup": q_video_frame_dedup,
@@ -2463,9 +2482,13 @@ nr AS (SELECT doc_id, sqrt(CAST(sum(cnt*cnt) AS DOUBLE)) AS nrm
 
     rescale_fixture = f"read_parquet('{fixture_rescale_parquet()}')"
     exif_fixture = f"read_parquet('{fixture_exif_parquet()}')"
-    from dedup_spark.fixtures.materialize import fixture_zipf_docs_parquet
+    from dedup_spark.fixtures.materialize import (
+        fixture_orientation_parquet,
+        fixture_zipf_docs_parquet,
+    )
 
     zipf_fixture = f"read_parquet('{fixture_zipf_docs_parquet()}')"
+    orient_fixture = f"read_parquet('{fixture_orientation_parquet()}')"
     # 256-row hex-pair lookup: this DuckDB build cannot slice or hash
     # BLOBs, so the audio oracle reconstructs int16 samples from
     # hex(bytes) via substring + this VALUES join
@@ -2685,6 +2708,14 @@ SELECT image_id,
   CASE WHEN endian = 'none' THEN NULL
        ELSE decode(unhex(substr(hx, 241, 38))) END AS taken_at
 FROM fx
+""",
+        # orientation dedup: the fixture stores exact lossless inverse
+        # transforms, so display-normalized clusters == group-by-source
+        # (the rescale_dedup construction pattern)
+        "orientation_dedup": f"""
+SELECT image_id, TRUE AS ok,
+       min(image_id) OVER (PARTITION BY src_id) AS cluster_id
+FROM {orient_fixture}
 """,
         # CDC: recompute every boundary (byte-pair % divisor over
         # hex(bytes) via the 256-row lookup), every chunk md5 (hex

@@ -75,6 +75,7 @@ HEADLINE = [
     "tpch_shipping_priority",
     "events_props_extract",
     "exif_metadata",
+    "orientation_dedup",
     "bm25_topk",  # runs on the pinned Zipf fixture at the production
     # df prune (sf-independent, like the image-fixture queries)
 ]

@@ -356,6 +356,38 @@ def generate_exif_corpus(n: int = 40, seed: int = 13) -> pd.DataFrame:
     )
 
 
+def generate_orientation_corpus(n_src: int = 20, seed: int = 17) -> pd.DataFrame:
+    """Each source photo stored under all 8 TIFF orientations: the
+    stored pixels are the EXACT inverse transform of the display image
+    (multimodal/exif.py normalize_orientation + ORIENTATION_INVERSE),
+    encoded lossless (PPM), so normalizing recovers the display
+    bit-for-bit and orientation-normalized dedup clusters by source by
+    construction. Non-square (24x16) so transposed orientations have
+    different dims — the blind spot being demonstrated. Columns:
+    (image_id, src_id, bytes, w, h, fmt, orientation)."""
+    from dedup_spark.multimodal.exif import (
+        ORIENTATION_INVERSE,
+        normalize_orientation,
+    )
+
+    rows = []
+    for i in range(n_src):
+        sid = f"o{i:04d}"
+        display = _smooth_image(f"{seed}:{sid}".encode(), 24, 16)  # w=24 h=16
+        for o in range(1, 9):
+            stored = np.ascontiguousarray(
+                normalize_orientation(display, ORIENTATION_INVERSE[o])
+            )
+            h, w, _ = stored.shape
+            rows.append(
+                (f"{sid}#{o}", sid, encode_ppm(stored), w, h, "ppm", o)
+            )
+    return pd.DataFrame(
+        rows,
+        columns=["image_id", "src_id", "bytes", "w", "h", "fmt", "orientation"],
+    )
+
+
 RESCALE_DIMS = (64, 32, 16)
 
 

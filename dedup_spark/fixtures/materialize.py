@@ -144,6 +144,37 @@ def fixture_audio_parquet(params: dict | None = None) -> str:
     return _write_atomic(table, out_dir, path)
 
 
+ORIENT_PARAMS = dict(n_src=20, seed=17)
+
+
+def fixture_orientation_parquet(params: dict | None = None) -> str:
+    """Pinned 8-orientation image corpus (fixtures/images.py
+    generate_orientation_corpus)."""
+    import pyarrow as pa
+
+    from dedup_spark.fixtures.images import generate_orientation_corpus
+
+    params = dict(ORIENT_PARAMS if params is None else params)
+    out_dir = os.path.join(FIXTURE_ROOT, "orient_" + _params_tag(params))
+    path = os.path.join(out_dir, "orient.parquet")
+    if os.path.exists(path):
+        return path
+    pdf = generate_orientation_corpus(**params)
+    table = pa.Table.from_arrays(
+        [
+            pa.array(pdf["image_id"], type=pa.string()),
+            pa.array(pdf["src_id"], type=pa.string()),
+            pa.array(pdf["bytes"], type=pa.binary()),
+            pa.array(pdf["w"], type=pa.int32()),
+            pa.array(pdf["h"], type=pa.int32()),
+            pa.array(pdf["fmt"], type=pa.string()),
+            pa.array(pdf["orientation"], type=pa.int32()),
+        ],
+        names=["image_id", "src_id", "bytes", "w", "h", "fmt", "orientation"],
+    )
+    return _write_atomic(table, out_dir, path)
+
+
 ZIPF_PARAMS = dict(n_docs=2000, seed=29)
 
 

@@ -164,6 +164,37 @@ def parse_exif(jpeg: bytes) -> dict | None:
     return out
 
 
+def normalize_orientation(px, orientation: int):
+    """Stored pixels → display pixels per TIFF 6.0 orientation 1-8
+    (1 normal, 2 flip-H, 3 rot180, 4 flip-V, 5 transpose, 6 rot90 CW,
+    7 transverse, 8 rot90 CCW). Pure numpy views; lossless and exactly
+    invertible (see ORIENTATION_INVERSE), which is what makes
+    orientation-normalized dedup bit-exact."""
+    import numpy as np
+
+    if orientation == 2:
+        return px[:, ::-1]
+    if orientation == 3:
+        return px[::-1, ::-1]
+    if orientation == 4:
+        return px[::-1, :]
+    if orientation == 5:
+        return px.transpose(1, 0, 2)
+    if orientation == 6:
+        return np.rot90(px, k=-1)
+    if orientation == 7:
+        return px.transpose(1, 0, 2)[::-1, ::-1]
+    if orientation == 8:
+        return np.rot90(px, k=1)
+    return px  # 1 (or out-of-spec): as stored
+
+
+# o composed with ORIENTATION_INVERSE[o] is the identity:
+# normalize(inverse_normalize(x, o), o) == x. 6 and 8 invert each
+# other; every other orientation is an involution.
+ORIENTATION_INVERSE = {1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 8, 7: 7, 8: 6}
+
+
 EXIF_SCHEMA = (
     "image_id string, has_exif boolean, make string, model string, "
     "orientation int, exif_width long, exif_height long, taken_at string"
@@ -212,3 +243,63 @@ def exif_metadata(
             )
 
     return df.select(id_col, bytes_col).mapInPandas(_parse, schema=EXIF_SCHEMA)
+
+
+def orientation_normalized_clusters(
+    df: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    orientation_col: str = "orientation",
+) -> DataFrame:
+    """Orientation-normalized pixel dedup: the same photo stored
+    rotated/flipped (the 8 EXIF orientations) has different bytes,
+    different dims, different phash, AND a different pixel buffer —
+    nothing upstream clusters it. Normalizing to display orientation
+    before hashing collapses all 8 variants into one cluster.
+
+    The orientation arrives as a COLUMN (in a real pipeline, the
+    output of ``exif_metadata`` joined back — metadata pass first,
+    expensive decode pass second). Returns (id, ok, cluster_id);
+    undecodable rows self-cluster with ok=false. Same scale shape as
+    pixel_sha: one Arrow projection, sha-keyed groupBy, payload never
+    enters an Exchange.
+    """
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dedup_spark.multimodal.decode import _decode_any
+
+    def _sha(it):
+        for pdf in it:
+            rows = []
+            for rid, data, fmt, o in zip(
+                pdf[id_col], pdf[bytes_col], pdf[fmt_col],
+                pdf[orientation_col],
+            ):
+                px = _decode_any(data, fmt)
+                if px is None:
+                    rows.append((rid, False, None))
+                    continue
+                disp = normalize_orientation(px, int(o) if o is not None else 1)
+                h = hashlib.sha256()
+                h.update(np.int64(disp.shape[0]).tobytes())
+                h.update(np.int64(disp.shape[1]).tobytes())
+                h.update(np.ascontiguousarray(disp).tobytes())
+                rows.append((rid, True, h.hexdigest()))
+            yield pd.DataFrame(rows, columns=[id_col, "ok", "norm_sha"])
+
+    th = df.select(id_col, bytes_col, fmt_col, orientation_col).mapInPandas(
+        _sha, schema=f"{id_col} string, ok boolean, norm_sha string"
+    ).localCheckpoint(eager=False)
+    roots = (
+        th.filter(F.col("ok"))
+        .groupBy("norm_sha")
+        .agg(F.min(id_col).alias("cluster_id"))
+    )
+    return th.join(roots, on="norm_sha", how="left").select(
+        id_col, "ok",
+        F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+    )

@@ -109,3 +109,55 @@ def test_corpus_shape():
     kinds = pdf["endian"].value_counts().to_dict()
     assert kinds.get("none", 0) >= 2  # exif-less jpeg + ppm row
     assert kinds.get("II", 0) > 0 and kinds.get("MM", 0) > 0
+
+
+def test_orientation_inverse_law_all_eight():
+    """normalize(inverse_normalize(x, o), o) == x for every o, on a
+    non-square array (transposes must swap dims, not just flip)."""
+    from dedup_spark.multimodal.exif import (
+        ORIENTATION_INVERSE,
+        normalize_orientation,
+    )
+
+    rng = np.random.default_rng(9)
+    x = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    for o in range(1, 9):
+        stored = normalize_orientation(x, ORIENTATION_INVERSE[o])
+        back = normalize_orientation(stored, o)
+        assert np.array_equal(back, x), f"orientation {o}"
+        if o in (5, 6, 7, 8):
+            assert stored.shape[:2] == (24, 16)  # dims swap
+        # and the 8 stored variants are pairwise distinct buffers
+    stored_all = {
+        normalize_orientation(x, ORIENTATION_INVERSE[o]).tobytes()
+        for o in range(1, 9)
+    }
+    assert len(stored_all) == 8
+
+
+def test_orientation_dedup_clusters_by_source(spark):
+    from dedup_spark.fixtures.images import generate_orientation_corpus
+    from dedup_spark.multimodal.exif import orientation_normalized_clusters
+
+    pdf = generate_orientation_corpus(n_src=4)
+    df = spark.createDataFrame(
+        pdf[["image_id", "bytes", "w", "h", "fmt", "orientation"]],
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "orientation int",
+    )
+    rows = orientation_normalized_clusters(df).collect()
+    assert len(rows) == 32 and all(r.ok for r in rows)
+    clusters = {}
+    for r in rows:
+        clusters.setdefault(r.cluster_id, []).append(r.image_id)
+    assert len(clusters) == 4  # 8 orientations collapse per source
+    for cid, members in clusters.items():
+        assert len(members) == 8
+        assert len({m.split("#")[0] for m in members}) == 1
+    # the blind-spot proof: WITHOUT normalization (orientation forced
+    # to 1) nothing collapses
+    df1 = df.withColumn("orientation", df.orientation * 0 + 1)
+    from pyspark.sql import functions as F
+
+    raw = orientation_normalized_clusters(df1).collect()
+    assert len({r.cluster_id for r in raw}) == 32
