@@ -109,7 +109,17 @@ def parse_exif(jpeg: bytes) -> dict | None:
     """GENERAL parser: JPEG segment walk → first Exif APP1 → TIFF IFD0
     walk (either endian, entries in any order, inline or offset
     values, unknown tags skipped). Returns {tag_id: value} or None if
-    no Exif APP1 exists. Malformed structures raise ValueError."""
+    no Exif APP1 exists. Malformed structures raise ValueError —
+    including truncated buffers, which struct/indexing would otherwise
+    surface as struct.error/IndexError and escape callers' except
+    clauses (the 10^12-row survive-corruption invariant)."""
+    try:
+        return _parse_exif_inner(jpeg)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"malformed EXIF structure: {exc}") from exc
+
+
+def _parse_exif_inner(jpeg: bytes) -> dict | None:
     if jpeg[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     i, n = 2, len(jpeg)
@@ -222,16 +232,23 @@ def exif_metadata(
                 if not tags:
                     rows.append((rid, False, None, None, None, None, None, None))
                     continue
+
+                def _i(v):  # multi-count tags would break the scalar schema
+                    return int(v) if isinstance(v, int) else None
+
+                def _s(v):
+                    return v if isinstance(v, str) else None
+
                 rows.append(
                     (
                         rid,
                         True,
-                        tags.get(TAG_MAKE),
-                        tags.get(TAG_MODEL),
-                        tags.get(TAG_ORIENTATION),
-                        tags.get(TAG_WIDTH),
-                        tags.get(TAG_HEIGHT),
-                        tags.get(TAG_DATETIME),
+                        _s(tags.get(TAG_MAKE)),
+                        _s(tags.get(TAG_MODEL)),
+                        _i(tags.get(TAG_ORIENTATION)),
+                        _i(tags.get(TAG_WIDTH)),
+                        _i(tags.get(TAG_HEIGHT)),
+                        _s(tags.get(TAG_DATETIME)),
                     )
                 )
             yield pd.DataFrame(
@@ -283,7 +300,12 @@ def orientation_normalized_clusters(
                 if px is None:
                     rows.append((rid, False, None))
                     continue
-                disp = normalize_orientation(px, int(o) if o is not None else 1)
+                # NULL orientation arrives as NaN once pandas widens an
+                # int column with nulls to float64 — exactly what
+                # exif_metadata emits for exif-less rows; treat as 1
+                disp = normalize_orientation(
+                    px, 1 if o is None or pd.isna(o) else int(o)
+                )
                 h = hashlib.sha256()
                 h.update(np.int64(disp.shape[0]).tobytes())
                 h.update(np.int64(disp.shape[1]).tobytes())

@@ -52,7 +52,10 @@ def cdc_chunks(data: bytes, divisor: int = 64) -> list[tuple[int, int, str]]:
     b = np.frombuffer(data, dtype=np.uint8)
     n = b.shape[0]
     if n == 0:
-        return []
+        # one empty chunk, so every input blob has a report row (and
+        # matches the oracle's e=0 terminal-end row) — a blob must
+        # never silently vanish from the dedup report
+        return [(0, 0, hashlib.md5(b"").hexdigest())]
     pair = b[:-1].astype(np.int32) * 256 + b[1:]
     # pair j covers bytes (j+1, j+2) 1-based -> chunk ends after j+2
     ends = (np.where(pair % divisor == 0)[0] + 2).tolist()

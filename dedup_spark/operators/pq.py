@@ -72,7 +72,9 @@ def pq_train(
         slim.withColumn("_h", F.xxhash64("_id")).orderBy("_h").limit(ksub).collect()
     )
     seeds = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in seed_rows])
-    seeds /= np.linalg.norm(seeds, axis=1, keepdims=True)
+    nrm = np.linalg.norm(seeds, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0  # a zero-norm seed must not poison the codebook
+    seeds /= nrm
     dim = seeds.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")

@@ -37,10 +37,15 @@ from pyspark.sql import DataFrame, Window, functions as F
 K1 = 1.2
 B = 0.75
 
+# guarded tokenizer: empty/null/whitespace-only text yields an EMPTY
+# array, never [''] — split('') returns [''] with size 1, which would
+# defeat the size()>0 filter, inflate N/avgdl, and index the '' term
+# (diverging from the oracle's trim(text) <> '' exclusion)
+from dedup_spark.operators.spandedup import _norm_tokens as _toks_guarded
+
 
 def _toks(text_col: str):
-    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
-    return F.split(F.lower(t), r"\s+")
+    return _toks_guarded(text_col)
 
 
 def bm25_topk(

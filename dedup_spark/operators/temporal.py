@@ -62,13 +62,20 @@ def asof_join(
     """Backward as-of LEFT join: every left row gains
     ``<ts_col><suffix>`` (the matched right timestamp, null if no
     right row precedes) and ``<c><suffix>`` for each c in right_cols.
-    Ties (equal ts) match, per the ``<=`` contract."""
-    carry = [ts_col + suffix] + [c + suffix for c in right_cols]
+    Ties (equal ts) match, per the ``<=`` contract.
+
+    The carried right columns are forward-filled as ONE struct, not
+    independently: a matched right row whose value column is NULL must
+    yield that NULL (the ASOF contract), not resurrect a non-null
+    value from an older row — per-column ignorenulls fills would pair
+    a (ts, value) that never co-occurred."""
     r2 = right.select(
         F.col(on),
         F.col(ts_col),
-        F.col(ts_col).alias(ts_col + suffix),
-        *[F.col(c).alias(c + suffix) for c in right_cols],
+        F.struct(
+            F.col(ts_col).alias(ts_col + suffix),
+            *[F.col(c).alias(c + suffix) for c in right_cols],
+        ).alias("_r_payload"),
         F.lit(0).alias("_tag"),
     )
     l2 = left.withColumn("_tag", F.lit(1))
@@ -78,9 +85,13 @@ def asof_join(
         .orderBy(F.col(ts_col).asc(), F.col("_tag").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in carry:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return u.filter(F.col("_tag") == 1).drop("_tag")
+    u = u.withColumn(
+        "_r_payload", F.last("_r_payload", ignorenulls=True).over(w)
+    )
+    out = u.filter(F.col("_tag") == 1)
+    for c in [ts_col + suffix] + [c + suffix for c in right_cols]:
+        out = out.withColumn(c, F.col(f"_r_payload.{c}"))
+    return out.drop("_tag", "_r_payload")
 
 
 def range_join(

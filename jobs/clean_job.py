@@ -73,17 +73,22 @@ def main(argv=None) -> int:
     if not args.no_excise:
         from dedup_spark.operators.spandedup import duplicated_span_excision
 
+        # the excision DAG feeds the stats agg, the keep filter, the
+        # decontamination scan, and the final write — checkpoint it
+        # once instead of recomputing the gram/coverage pipeline per
+        # consumer (the multi-consumer rule)
         ex = duplicated_span_excision(
             docs, id_col=idc, text_col=args.text_col, k=args.span_k
-        )
+        ).localCheckpoint(eager=False)
         agg = ex.agg(
             F.sum("n_covered").alias("w"),
             F.sum(
                 (F.col("dup_fraction") > args.max_dup_fraction).cast("long")
             ).alias("d"),
         ).collect()[0]
-        report["words_excised"] = int(agg["w"])
-        report["dropped_mostly_dup"] = int(agg["d"])
+        # sums over an EMPTY corpus aggregate to NULL, not 0
+        report["words_excised"] = int(agg["w"] or 0)
+        report["dropped_mostly_dup"] = int(agg["d"] or 0)
         keep = ex.filter(F.col("dup_fraction") <= args.max_dup_fraction)
         out = docs.drop(args.text_col).join(
             keep.select(idc, F.col("cleaned_text").alias(args.text_col)),
@@ -93,6 +98,7 @@ def main(argv=None) -> int:
     if args.eval_set:
         from dedup_spark.operators.decontaminate import contamination_flags
 
+        out = out.localCheckpoint(eager=False)  # consumed 3x below
         ev = spark.read.parquet(args.eval_set)
         flags = contamination_flags(
             out, ev, id_col=idc, text_col=args.text_col, n=args.decon_n

@@ -161,3 +161,15 @@ def test_orientation_dedup_clusters_by_source(spark):
 
     raw = orientation_normalized_clusters(df1).collect()
     assert len({r.cluster_id for r in raw}) == 32
+
+
+def test_truncated_exif_raises_valueerror_not_struct_error():
+    """Corrupt EXIF must surface as ValueError (the exception the
+    Arrow-stage handlers catch) — a struct.error would kill the task
+    and violate the survive-corruption invariant."""
+    bad = insert_app1(
+        _jpeg(),
+        b"\xff\xe1" + struct.pack(">H", 10) + b"Exif\0\0" + b"II",
+    )
+    with pytest.raises(ValueError):
+        parse_exif(bad)

@@ -133,7 +133,10 @@ def test_cdc_chunks_cover_exactly(data, divisor):
 
     ch = cdc_chunks(data, divisor)
     if not data:
-        assert ch == []
+        import hashlib as _hl0
+
+        # empty blob -> one empty chunk: every blob gets a report row
+        assert ch == [(0, 0, _hl0.md5(b"").hexdigest())]
         return
     # half-open ranges tile [0, n) exactly, in order, non-empty
     assert ch[0][0] == 0 and ch[-1][1] == len(data)

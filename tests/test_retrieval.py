@@ -92,3 +92,29 @@ def test_zipf_corpus_planted_neighbors_rank_first(spark):
     ).collect()
     assert len(out) == 20
     assert all(r.neighbor_id == r.query_id + 1 for r in out)
+
+
+def test_empty_and_null_docs_do_not_pollute_stats(spark):
+    """Empty/whitespace/null docs must not count toward N or avgdl and
+    must never index the '' term (split('') yields [''] — the guarded
+    tokenizer turns it into an empty array)."""
+    rows = [
+        (1, "zebra alpha beta"),
+        (2, "zebra alpha gamma"),
+        (3, ""),
+        (4, "   "),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    clean = df.filter("doc_id <= 2")
+    q = df.filter("doc_id = 1")
+    with_junk = {
+        (r.query_id, r.neighbor_id, r.score)
+        for r in bm25_topk(df, q, k=5, max_df_ratio=1.0).collect()
+    }
+    without = {
+        (r.query_id, r.neighbor_id, r.score)
+        for r in bm25_topk(clean, q, k=5, max_df_ratio=1.0).collect()
+    }
+    assert with_junk == without  # junk rows are invisible to the index
+    assert all(nid not in (3, 4, 5) for _, nid, _ in with_junk)

@@ -90,3 +90,20 @@ def test_range_join_rejects_bad_window(spark):
             lower_s=10,
             upper_s=10,
         )
+
+
+def test_asof_null_right_value_carries_atomically(spark):
+    """A matched right row whose value is NULL must yield that NULL —
+    per-column forward-fill would resurrect the older row's value,
+    pairing a (ts, value) that never co-occurred (DuckDB ASOF returns
+    the t=10 row with NULL value here)."""
+    left = spark.createDataFrame(
+        [(1, 7, _ts(20.0))], "event_id long, user_id long, ts timestamp_ntz"
+    )
+    right = spark.createDataFrame(
+        [(7, _ts(5.0), 3.0), (7, _ts(10.0), None)],
+        "user_id long, ts timestamp_ntz, value double",
+    )
+    row = asof_join(left, right, on="user_id", right_cols=("value",)).collect()[0]
+    assert row.ts_matched == _ts(10.0)
+    assert row.value_matched is None

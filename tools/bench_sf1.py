@@ -209,6 +209,10 @@ def main() -> None:
         with open("BENCH/sf1_scaling.json") as f:
             prior = json.load(f)
         prior["queries"].update(report["queries"])
+        # classify against THIS run's measured byte baseline, not a
+        # stale one from the prior artifact (and tolerate artifacts
+        # that predate the bytes_ratio field)
+        prior["bytes_ratio"] = report["bytes_ratio"]
         ratios = [
             v["cpu_ratio"] for v in prior["queries"].values() if "cpu_ratio" in v
         ]
