@@ -1513,6 +1513,118 @@ def q_streaming_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM inner interval join — the Structured
+    Streaming stateful operator the other four streaming gates don't
+    cover (streaming/incremental.py stream_interval_join): clicks and
+    purchases replay as TWO real file-source streams (three
+    time-ordered slices each, batch boundaries aligned so the shared
+    watermark advances identically), joined on user with purchase.ts
+    in [click.ts, click.ts + 1h]. The two-sided event-time bound makes
+    the join state evictable — the 100 TB shape. The slices are 10
+    days wide vs a 2-day watermark delay, so no in-window match is
+    ever evicted early and the streamed result must equal the batch
+    inequality join — which is exactly the SQL oracle (33 pairs at
+    sf0.01, several crossing a batch boundary and therefore carried by
+    buffered state).
+
+    Eager replay like the other streaming gates;
+    DEDUP_SPARK_EXPLAIN_ONLY=1 returns a lazy stand-in."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+
+    def out_cols(df):
+        return df.select(
+            F.col("click_id").cast("long"),
+            F.col("purchase_id").cast("long"),
+            F.col("c_user").cast("long").alias("user_id"),
+            (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("delta_us"),
+        )
+
+    if os.environ.get("DEDUP_SPARK_EXPLAIN_ONLY"):
+        return out_cols(
+            clicks.crossJoin(purchases).filter(
+                F.col("c_user") == F.col("p_user")
+            )
+        ).limit(0)
+
+    import shutil
+    import tempfile
+    import time
+
+    from dedup_spark.streaming.incremental import (
+        replay_two_ordered_streams,
+        stream_interval_join,
+    )
+
+    root = "/tmp/dedup_spark_stream_q"
+    os.makedirs(root, exist_ok=True)
+    for d in os.listdir(root):
+        p = os.path.join(root, d)
+        if os.path.isdir(p) and time.time() - os.path.getmtime(p) > 3600:
+            shutil.rmtree(p, ignore_errors=True)
+    base = tempfile.mkdtemp(
+        prefix=f"ssj_{os.path.basename(sf_dir.rstrip('/'))}_", dir=root
+    )
+    out_dir, ckpt = f"{base}/out", f"{base}/ckpt"
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+        span = hi - lo
+        cuts = [lo + span / 3, lo + 2 * span / 3]
+        for name, side, ts in (
+            ("clicks", clicks, "c_ts"), ("purchases", purchases, "p_ts"),
+        ):
+            in_dir = f"{base}/{name}"
+            os.makedirs(in_dir)
+            slices = [
+                side.filter(F.col(ts) < F.lit(cuts[0])),
+                side.filter(
+                    (F.col(ts) >= F.lit(cuts[0])) & (F.col(ts) < F.lit(cuts[1]))
+                ),
+                side.filter(F.col(ts) >= F.lit(cuts[1])),
+            ]
+            for k, sl in enumerate(slices):
+                tmp = f"{base}/raw_{name}{k}"
+                sl.coalesce(1).write.parquet(tmp)
+                part = next(
+                    f for f in os.listdir(tmp)
+                    if f.endswith(".parquet") and not f.startswith(".")
+                )
+                dst = f"{in_dir}/b{k}.parquet"
+                shutil.move(os.path.join(tmp, part), dst)
+                os.utime(dst, (1700000000 + 100 * k,) * 2)
+
+        replay_two_ordered_streams(
+            spark,
+            (f"{base}/clicks", f"{base}/purchases"),
+            (clicks.schema, purchases.schema),
+            lambda lc, rp: out_cols(
+                stream_interval_join(
+                    lc, rp, "c_user", "p_user", "c_ts", "p_ts",
+                    upper_s=3600, watermark="2 days",
+                )
+            ),
+            out_dir, ckpt,
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    return spark.read.parquet(out_dir)
+
+
 def q_streaming_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental NEAR-dup clustering (streaming/fuzzy.py): the corpus
     is replayed as THREE doc_id-ordered micro-batches through the
@@ -2332,6 +2444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_watermark_dedup": q_streaming_watermark_dedup,
         "streaming_sessionization": q_streaming_sessionization,
         "streaming_fuzzy_dedup": q_streaming_fuzzy_dedup,
+        "streaming_interval_join": q_streaming_interval_join,
         "cosine_pairs": q_cosine_pairs,
         "cosine_topk": q_cosine_topk,
         "semantic_dedup": q_semantic_dedup,
@@ -3470,6 +3583,18 @@ SELECT event_type,
              / count(*), 6) AS avg_k
 FROM events
 GROUP BY 1
+""",
+        # the streamed two-source interval join must equal the batch
+        # inequality join (no in-window match is watermark-evictable
+        # at this slice/delay geometry — see the query docstring)
+        "streaming_interval_join": """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       c.user_id AS user_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS delta_us
+FROM events c JOIN events p ON c.user_id = p.user_id
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+  AND epoch_us(p.ts) >= epoch_us(c.ts)
+  AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
 """,
         # the as-of gate uses DuckDB's NATIVE ASOF JOIN — the engine's
         # union-and-forward-fill plan vs a reference implementation of

@@ -249,3 +249,64 @@ def windowed_dup_rate(
             ).alias("distinct_contents"),
         )
     )
+
+
+def stream_interval_join(
+    left,
+    right,
+    lkey: str,
+    rkey: str,
+    lts: str,
+    rts: str,
+    upper_s: int = 3600,
+    watermark: str = "2 days",
+):
+    """Watermarked STREAM-STREAM inner interval join (the Structured
+    Streaming headline stateful operator this module didn't yet cover):
+    match right rows with ``rts`` in ``[lts, lts + upper_s]`` for the
+    same key. Both sides carry watermarks and the join condition bounds
+    event time in BOTH directions, so Spark can evict matched state —
+    the state-bounded shape a 100 TB stream needs (an unconstrained
+    stream-stream join retains both sides forever). Column names must
+    be disjoint between the two inputs (prefix them)."""
+    lw = left.withWatermark(lts, watermark)
+    rw = right.withWatermark(rts, watermark)
+    return lw.join(
+        rw,
+        (F.col(lkey) == F.col(rkey))
+        & (F.col(rts) >= F.col(lts))
+        & (F.col(rts) <= F.col(lts) + F.expr(f"INTERVAL {upper_s} SECONDS")),
+        "inner",
+    )
+
+
+def replay_two_ordered_streams(
+    spark: SparkSession,
+    in_dirs: tuple[str, str],
+    schemas: tuple[str, str],
+    transform2,
+    out_dir: str,
+    checkpoint_dir: str,
+    timeout_s: int = 300,
+) -> None:
+    """Two-source sibling of replay_ordered_files: each input dir is a
+    pre-staged time-ordered file sequence, both read with
+    maxFilesPerTrigger=1 so micro-batches advance the two sides (and
+    their watermarks) together; availableNow drains to completion."""
+    streams = [
+        spark.readStream.schema(s)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(d)
+        for d, s in zip(in_dirs, schemas)
+    ]
+    q = (
+        transform2(*streams)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)

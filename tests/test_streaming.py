@@ -482,3 +482,76 @@ def test_windowed_dup_rate_plan_is_streaming_safe(spark, tmp_path):
     # append mode emits only closed windows; the plan executing at all
     # (no AnalysisException) is the contract here
     assert spark.table("dup_rate_t").columns == ["window", "rows", "distinct_contents"]
+
+
+def test_stream_interval_join_cross_batch_and_late_eviction(spark, tmp_path):
+    """Stream-stream interval join contract, batch by batch:
+    (1) an in-batch (click, purchase) pair within the window matches;
+    (2) a purchase arriving in a LATER batch matches a click still
+        buffered in state (the cross-batch carry);
+    (3) a LATE purchase — event time in-window, but arriving after the
+        watermark has passed the click's eviction bound — is DROPPED:
+        bounded state is the explicit trade on an unbounded stream."""
+    import os
+
+    from dedup_spark.streaming.incremental import (
+        replay_two_ordered_streams,
+        stream_interval_join,
+    )
+
+    cs = "click_id long, c_user long, c_ts timestamp"
+    ps = "purchase_id long, p_user long, p_ts timestamp"
+
+    def stage(name, batches, schema):
+        in_dir = str(tmp_path / name)
+        os.makedirs(in_dir)
+        for i, rows in enumerate(batches):
+            raw = str(tmp_path / f"{name}_raw{i}")
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(raw)
+            part = next(f for f in os.listdir(raw)
+                        if f.endswith(".parquet") and not f.startswith("."))
+            dst = f"{in_dir}/b{i}.parquet"
+            os.rename(os.path.join(raw, part), dst)
+            os.utime(dst, (1700000000 + 100 * i,) * 2)
+        return in_dir
+
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ts(h):
+        return t0 + dt.timedelta(hours=h)
+
+    clicks = stage("cl", [
+        [(1, 7, ts(0))],                       # batch 0
+        [(2, 8, ts(200))],                     # batch 1: advances watermark
+        [(3, 9, ts(400))],                     # batch 2: flush (lazy evict)
+        [(4, 10, ts(600))],                    # batch 3
+    ], cs)
+    # the GLOBAL watermark is the min across both streams (advance
+    # both), and eviction commits lazily at batch END — so the late
+    # row arrives two advancing batches after its window closed
+    purchases = stage("pu", [
+        [(10, 7, ts(0.5))],                    # in-batch match with click 1
+        [(11, 7, ts(0.9)), (20, 8, ts(200.5))],  # cross-batch match + advance
+        [(21, 9, ts(400.5))],                  # flush/advance
+        [(12, 7, ts(0.95)), (22, 10, ts(600.5))],  # LATE row + advance
+    ], ps)
+
+    out, ckpt = str(tmp_path / "sjout"), str(tmp_path / "sjckpt")
+    replay_two_ordered_streams(
+        spark, (clicks, purchases), (cs, ps),
+        lambda lc, rp: stream_interval_join(
+            lc, rp, "c_user", "p_user", "c_ts", "p_ts",
+            upper_s=3600, watermark="1 hour",
+        ).select("click_id", "purchase_id"),
+        out, ckpt,
+    )
+    got = sorted(
+        (r.click_id, r.purchase_id)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert (1, 10) in got          # in-batch
+    assert (1, 11) in got          # carried across the batch boundary
+    assert (1, 12) not in got      # late arrival: state already evicted
+    assert got == [(1, 10), (1, 11), (2, 20), (3, 21), (4, 22)]
