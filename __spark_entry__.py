@@ -869,6 +869,69 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of events.value per event type (width_bucket
+    over the GLOBAL min/max, 16 buckets + the upper-edge overflow
+    bucket): the distribution-profiling aggregate every monitoring
+    stage needs, one scan + one groupBy — map-side combinable, no
+    driver state. Bucket edges come from broadcast scalar aggregates;
+    the oracle recomputes min/max, every bucket assignment, and the
+    counts. width_bucket semantics are pinned cross-engine: both sides
+    compute floor((v - lo) * nb / (hi - lo)) + 1 clamped to nb+1 on
+    the upper edge — the SQL-standard function's exact definition."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    nb = 16
+    st = ev.agg(
+        F.min("value").alias("_lo"), F.max("value").alias("_hi")
+    )
+    b = ev.crossJoin(F.broadcast(st)).withColumn(
+        "bucket",
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("_lo"))
+                * nb
+                / (F.col("_hi") - F.col("_lo"))
+            ).cast("long")
+            + 1,
+            F.lit(nb + 1).cast("long"),
+        ),
+    )
+    return b.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.min("value"), 6).alias("bucket_min"),
+        F.round(F.max("value"), 6).alias("bucket_max"),
+    )
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling surface: one row per column of the documents
+    table — row count, null count, EXACT distinct count, mean
+    string-rendered length. Declarative union of per-column aggregate
+    branches (single-column distinct plans as a partial two-stage agg,
+    no Expand); at 100 TB the one-pass profile is the sketch tier
+    (sketch_stats: HLL + quantile sketches, error-gated) — this exact
+    profiler is the small-table / verification variant. The oracle
+    recomputes all four stats per column."""
+    docs = _docs(spark, sf_dir)
+    branches = []
+    for c in ["doc_id", "text", "lang", "source", "n_chars"]:
+        v = F.col(c)
+        branches.append(
+            docs.agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(v.isNull().cast("long")).cast("long").alias("n_null"),
+                F.countDistinct(v).cast("long").alias("n_distinct"),
+                F.round(
+                    F.avg(F.length(v.cast("string"))), 6
+                ).alias("avg_len"),
+            ).select(F.lit(c).alias("column"), "*")
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
 def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF join (operators/temporal.py — the time-series operator
     Spark lacks as a built-in): every click event gains the latest
@@ -2456,6 +2519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
+        "value_histogram": q_value_histogram,
+        "table_profile": q_table_profile,
         "bm25_topk": q_bm25_topk,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_shipping_priority": q_tpch_shipping_priority,
@@ -3583,6 +3648,55 @@ SELECT event_type,
              / count(*), 6) AS avg_k
 FROM events
 GROUP BY 1
+""",
+        "table_profile": """
+SELECT 'doc_id' AS "column", CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+       round(avg(strlen(CAST(doc_id AS VARCHAR))), 6) AS avg_len
+FROM documents
+UNION ALL
+SELECT 'text', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT text) AS BIGINT),
+       round(avg(strlen(CAST(text AS VARCHAR))), 6)
+FROM documents
+UNION ALL
+SELECT 'lang', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT lang) AS BIGINT),
+       round(avg(strlen(CAST(lang AS VARCHAR))), 6)
+FROM documents
+UNION ALL
+SELECT 'source', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT source) AS BIGINT),
+       round(avg(strlen(CAST(source AS VARCHAR))), 6)
+FROM documents
+UNION ALL
+SELECT 'n_chars', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT n_chars) AS BIGINT),
+       round(avg(strlen(CAST(n_chars AS VARCHAR))), 6)
+FROM documents
+""",
+        # histogram: bucket assignment is the SQL-standard width_bucket
+        # definition written out so both engines execute the identical
+        # float expression: floor((v-lo)*16/(hi-lo)) + 1, clamped
+        "value_histogram": """
+WITH st AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+b AS (
+  SELECT event_type, value,
+         least(CAST(floor((value - st.lo) * 16 / (st.hi - st.lo))
+                    AS BIGINT) + 1, 17) AS bucket
+  FROM events, st
+)
+SELECT event_type, bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(value), 6) AS bucket_min,
+       round(max(value), 6) AS bucket_max
+FROM b
+GROUP BY 1, 2
 """,
         # the streamed two-source interval join must equal the batch
         # inequality join (no in-window match is watermark-evictable

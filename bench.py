@@ -74,6 +74,8 @@ HEADLINE = [
     "tpch_pricing_summary",
     "tpch_shipping_priority",
     "events_props_extract",
+    "value_histogram",
+    "table_profile",
     "exif_metadata",
     "orientation_dedup",
     "bm25_topk",  # runs on the pinned Zipf fixture at the production
