@@ -886,14 +886,20 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = ev.crossJoin(F.broadcast(st)).withColumn(
         "bucket",
-        F.least(
-            F.floor(
-                (F.col("value") - F.col("_lo"))
-                * nb
-                / (F.col("_hi") - F.col("_lo"))
-            ).cast("long")
-            + 1,
-            F.lit(nb + 1).cast("long"),
+        # degenerate hi==lo pins bucket 1 on BOTH sides (Spark's /0
+        # yields NULL while DuckDB's yields Inf, then errors on the
+        # BIGINT cast — the one input the shared expression doesn't
+        # cover without the guard)
+        F.when(F.col("_hi") == F.col("_lo"), F.lit(1).cast("long")).otherwise(
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("_lo"))
+                    * nb
+                    / (F.col("_hi") - F.col("_lo"))
+                ).cast("long")
+                + 1,
+                F.lit(nb + 1).cast("long"),
+            )
         ),
     )
     return b.groupBy("event_type", "bucket").agg(
@@ -3653,31 +3659,31 @@ GROUP BY 1
 SELECT 'doc_id' AS "column", CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
-       round(avg(strlen(CAST(doc_id AS VARCHAR))), 6) AS avg_len
+       round(avg(length(CAST(doc_id AS VARCHAR))), 6) AS avg_len
 FROM documents
 UNION ALL
 SELECT 'text', CAST(count(*) AS BIGINT),
        CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        CAST(count(DISTINCT text) AS BIGINT),
-       round(avg(strlen(CAST(text AS VARCHAR))), 6)
+       round(avg(length(CAST(text AS VARCHAR))), 6)
 FROM documents
 UNION ALL
 SELECT 'lang', CAST(count(*) AS BIGINT),
        CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        CAST(count(DISTINCT lang) AS BIGINT),
-       round(avg(strlen(CAST(lang AS VARCHAR))), 6)
+       round(avg(length(CAST(lang AS VARCHAR))), 6)
 FROM documents
 UNION ALL
 SELECT 'source', CAST(count(*) AS BIGINT),
        CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        CAST(count(DISTINCT source) AS BIGINT),
-       round(avg(strlen(CAST(source AS VARCHAR))), 6)
+       round(avg(length(CAST(source AS VARCHAR))), 6)
 FROM documents
 UNION ALL
 SELECT 'n_chars', CAST(count(*) AS BIGINT),
        CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        CAST(count(DISTINCT n_chars) AS BIGINT),
-       round(avg(strlen(CAST(n_chars AS VARCHAR))), 6)
+       round(avg(length(CAST(n_chars AS VARCHAR))), 6)
 FROM documents
 """,
         # histogram: bucket assignment is the SQL-standard width_bucket
@@ -3687,8 +3693,9 @@ FROM documents
 WITH st AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
 b AS (
   SELECT event_type, value,
-         least(CAST(floor((value - st.lo) * 16 / (st.hi - st.lo))
-                    AS BIGINT) + 1, 17) AS bucket
+         CASE WHEN st.hi = st.lo THEN 1
+              ELSE least(CAST(floor((value - st.lo) * 16 / (st.hi - st.lo))
+                         AS BIGINT) + 1, 17) END AS bucket
   FROM events, st
 )
 SELECT event_type, bucket,

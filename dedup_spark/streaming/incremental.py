@@ -223,7 +223,10 @@ def replay_ordered_files(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    done = q.awaitTermination(timeout_s)
+    if not done:
+        q.stop()
+        raise TimeoutError(f"replay did not drain within {timeout_s}s")
     q.stop()
 
 
@@ -309,4 +312,12 @@ def replay_two_ordered_streams(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    done = q.awaitTermination(timeout_s)
+    if not done:
+        # never return a partially-drained result (and never leak a
+        # running query into the shared session)
+        q.stop()
+        raise TimeoutError(
+            f"two-stream replay did not drain within {timeout_s}s"
+        )
+    q.stop()

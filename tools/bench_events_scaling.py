@@ -71,15 +71,22 @@ def build(spark) -> None:
                 os.symlink(os.path.join(BASE_SF, name), dst)
 
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
 def run_suite(sf_dir: str) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
     p = subprocess.run(
         [sys.executable, "bench.py", "--only", ",".join(QUERIES)],
-        env=env, capture_output=True, text=True,
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, cwd=REPO,
     )
-    line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+    if p.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"bench.py failed (rc={p.returncode}) for {sf_dir}:\n"
+            + p.stderr[-3000:]
+        )
+    return json.loads(lines[-1])
 
 
 def main() -> None:
@@ -125,8 +132,8 @@ def main() -> None:
         q for q, v in report["queries"].items()
         if (v["cpu_ratio"] or 0) > 1.5 * REPLICAS
     ]
-    os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/events_scaling.json", "w") as f:
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "events_scaling.json"), "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report))
 
