@@ -869,6 +869,47 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — the curation report every
+    multi-crawl corpus needs ('which source duplicated which'): exact
+    word-3-gram Jaccard near-dup pairs (the same capped inverted-index
+    tier as ngram_jaccard_pairs) joined back to each side's source,
+    unordered (least, greatest) so A↔B and B↔A collapse, counted per
+    source pair. Scale shape: the pair tier's cost dominates; the
+    matrix step is two id-equi-joins plus a groupBy on a tiny key.
+    The oracle recomputes pairs from the shared capped CTE and the
+    matrix in SQL."""
+    from dedup_spark.operators.suffix import exact_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = exact_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", threshold=JACCARD_T,
+        min_tokens=K, max_posting=POSTING_CAP,
+    ).select("id1", "id2")
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id1"), F.col("source").alias("_s1")
+            ),
+            on="id1",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id2"), F.col("source").alias("_s2")
+            ),
+            on="id2",
+        )
+        .select(
+            F.least("_s1", "_s2").alias("source_a"),
+            F.greatest("_s1", "_s2").alias("source_b"),
+        )
+    )
+    return j.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+
+
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram of events.value per event type (width_bucket
     over the GLOBAL min/max, 16 buckets + the upper-edge overflow
@@ -2527,6 +2568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": q_events_range_join,
         "value_histogram": q_value_histogram,
         "table_profile": q_table_profile,
+        "cross_source_dup_matrix": q_cross_source_dup_matrix,
         "bm25_topk": q_bm25_topk,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_shipping_priority": q_tpch_shipping_priority,
@@ -3654,6 +3696,24 @@ SELECT event_type,
              / count(*), 6) AS avg_k
 FROM events
 GROUP BY 1
+""",
+        # the dup matrix reuses the capped shingle-pair CTE and joins
+        # sources back in SQL; least/greatest collapse pair order
+        "cross_source_dup_matrix": _ORACLE_SHINGLE_PAIRS_CAPPED
+        + f""",
+pe AS (
+  SELECT id1, id2 FROM scored
+  WHERE inter / (n1 + n2 - inter) >= {JACCARD_T}
+),
+m AS (
+  SELECT least(a.source, b.source) AS source_a,
+         greatest(a.source, b.source) AS source_b
+  FROM pe
+  JOIN documents a ON a.doc_id = pe.id1
+  JOIN documents b ON b.doc_id = pe.id2
+)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+FROM m GROUP BY 1, 2
 """,
         "table_profile": """
 SELECT 'doc_id' AS "column", CAST(count(*) AS BIGINT) AS n,

@@ -76,6 +76,7 @@ HEADLINE = [
     "events_props_extract",
     "value_histogram",
     "table_profile",
+    "cross_source_dup_matrix",
     "exif_metadata",
     "orientation_dedup",
     "bm25_topk",  # runs on the pinned Zipf fixture at the production
