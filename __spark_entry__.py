@@ -910,6 +910,39 @@ def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-graph shape report: the distribution of near-dup cluster
+    sizes (how much of the corpus is pairs vs floods — the number that
+    decides star-guard and skew budgets). Connected components over
+    the exact-Jaccard edge set, singletons included (size 1), then
+    groupBy(cluster) → size → groupBy(size) → count: two combinable
+    aggregations over the assignment table. The oracle extends the
+    recursive-CTE closure with the same double aggregation plus the
+    singleton complement."""
+    from dedup_spark.operators.components import connected_components
+    from dedup_spark.operators.suffix import exact_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    edges = exact_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", threshold=JACCARD_T,
+        min_tokens=K, max_posting=POSTING_CAP,
+    ).select("id1", "id2")
+    cc = connected_components(edges).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    # singletons: docs in no edge self-cluster with size 1
+    all_assign = docs.select("doc_id").join(cc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+    )
+    sizes = all_assign.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    ).select(F.col("cluster_size").cast("long"), "n_clusters")
+
+
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram of events.value per event type (width_bucket
     over the GLOBAL min/max, 16 buckets + the upper-edge overflow
@@ -2569,6 +2602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "table_profile": q_table_profile,
         "cross_source_dup_matrix": q_cross_source_dup_matrix,
+        "cluster_size_histogram": q_cluster_size_histogram,
         "bm25_topk": q_bm25_topk,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_shipping_priority": q_tpch_shipping_priority,
@@ -3325,6 +3359,39 @@ reach(src, dst) AS (
 )
 SELECT src AS doc_id, min(dst) AS cluster_id
 FROM reach GROUP BY src
+""",
+        # cluster-size histogram: same closure + the singleton
+        # complement, then the double aggregation
+        "cluster_size_histogram": _ORACLE_SHINGLE_PAIRS_CAPPED.replace(
+            "WITH t AS", "WITH RECURSIVE t AS", 1
+        )
+        + f""",
+e AS (
+  SELECT id1 AS a, id2 AS b FROM scored
+  WHERE inter / (n1 + n2 - inter) >= {JACCARD_T}
+),
+sym AS (
+  SELECT a, b FROM e UNION SELECT b, a FROM e
+  UNION SELECT a, a FROM e UNION SELECT b, b FROM e
+),
+reach(src, dst) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.src, y.b FROM reach r JOIN sym y ON r.dst = y.a
+),
+asg AS (
+  SELECT d.doc_id,
+         coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d
+  LEFT JOIN (SELECT src AS doc_id, min(dst) AS cluster_id
+             FROM reach GROUP BY src) c ON c.doc_id = d.doc_id
+),
+sz AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM asg GROUP BY 1
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM sz GROUP BY 1
 """,
         # cluster-safe split: same transitive closure, then singletons
         # self-clustered over ALL documents and the multiplicative-hash

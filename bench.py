@@ -77,6 +77,7 @@ HEADLINE = [
     "value_histogram",
     "table_profile",
     "cross_source_dup_matrix",
+    "cluster_size_histogram",
     "exif_metadata",
     "orientation_dedup",
     "bm25_topk",  # runs on the pinned Zipf fixture at the production
