@@ -2060,6 +2060,26 @@ def q_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exif_metadata(df.drop("endian"))
 
 
+def q_jpeg_quality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG quality estimation from the DQT alone (multimodal/jpeg.py
+    estimate_quality — the recompression-filter signal curation
+    pipelines use, e.g. dropping re-encoded low-quality web images):
+    the engine's GENERAL segment walk finds the luma quant table and
+    inverts the libjpeg scaling (largest q in 1..100 regenerating the
+    stored table exactly). No pixel decode — scan-speed metadata like
+    exif_metadata. The oracle extracts the 64 zigzag steps from raw
+    hex at the writer-asserted offset and re-runs the full inversion
+    in SQL: 100 candidate qualities x 64 Annex-K base values, integer
+    scale/floor/clip arithmetic, exact 64/64 match, max-q tie rule.
+    The PPM row survives as has_dqt=false."""
+    from dedup_spark.fixtures.materialize import fixture_quality_parquet
+    from dedup_spark.multimodal.decode import jpeg_quality_estimates
+
+    df = spark.read.parquet(fixture_quality_parquet())
+    # the engine sees bytes only — `quality` is the tests' ground truth
+    return jpeg_quality_estimates(df.drop("quality"))
+
+
 def q_orientation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orientation-normalized pixel dedup (multimodal/exif.py): the
     same photo stored under all 8 TIFF orientations has different
@@ -2624,6 +2644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crossformat_pixel_dedup": q_crossformat_pixel_dedup,
         "rescale_dedup": q_rescale_dedup,
         "exif_metadata": q_exif_metadata,
+        "jpeg_quality_estimate": q_jpeg_quality_estimate,
         "orientation_dedup": q_orientation_dedup,
         "cdc_chunk_dedup": q_cdc_chunk_dedup,
         "multimodal_dedup_pipeline": q_multimodal_dedup_pipeline,
@@ -2742,6 +2763,14 @@ nr AS (SELECT doc_id, sqrt(CAST(sum(cnt*cnt) AS DOUBLE)) AS nrm
 
     rescale_fixture = f"read_parquet('{fixture_rescale_parquet()}')"
     exif_fixture = f"read_parquet('{fixture_exif_parquet()}')"
+    from dedup_spark.fixtures.materialize import fixture_quality_parquet
+    from dedup_spark.multimodal.jpeg import _QT_LUMA, ZIGZAG
+
+    quality_fixture = f"read_parquet('{fixture_quality_parquet()}')"
+    qt_base_values = ", ".join(
+        f"({i}, {int(v)})"
+        for i, v in enumerate(_QT_LUMA.reshape(64)[ZIGZAG])
+    )
     from dedup_spark.fixtures.materialize import (
         fixture_orientation_parquet,
         fixture_zipf_docs_parquet,
@@ -2968,6 +2997,44 @@ SELECT image_id,
   CASE WHEN endian = 'none' THEN NULL
        ELSE decode(unhex(substr(hx, 241, 38))) END AS taken_at
 FROM fx
+""",
+        # quality estimation: extract the 64 zigzag luma steps from
+        # raw hex at the writer-asserted offset (SOI 2 + APP0 18 + DQT
+        # header 5 -> abs 25, hex 51) and re-run the full libjpeg
+        # inversion in SQL — integer scale/floor/clip, 64/64 match,
+        # max-q tie rule
+        "jpeg_quality_estimate": f"""
+WITH hb(hh, v) AS (VALUES {hex_byte_values}),
+fx AS (SELECT image_id, hex(bytes) AS hx, fmt FROM {quality_fixture}),
+posq AS (
+  SELECT image_id, hx, u.i AS idx
+  FROM fx, UNNEST(range(0, 64)) AS u(i)
+  WHERE fmt = 'jpeg'
+),
+qt AS (
+  SELECT p.image_id, p.idx, b.v AS step
+  FROM posq p JOIN hb b ON b.hh = substr(p.hx, 51 + 2*p.idx, 2)
+),
+base(idx, bval) AS (VALUES {qt_base_values}),
+cand AS (
+  SELECT CAST(u.q AS INT) AS q,
+         CASE WHEN u.q < 50 THEN 5000 // u.q
+              ELSE 200 - 2 * u.q END AS scale
+  FROM UNNEST(range(1, 101)) AS u(q)
+),
+m AS (
+  SELECT qt.image_id, c.q,
+         sum(CASE WHEN least(greatest((b.bval * c.scale + 50) // 100, 1),
+                        255) = qt.step THEN 1 ELSE 0 END) AS hits
+  FROM qt JOIN base b ON b.idx = qt.idx CROSS JOIN cand c
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT image_id, max(q) AS est_quality FROM m WHERE hits = 64 GROUP BY 1
+)
+SELECT f.image_id, f.fmt = 'jpeg' AS has_dqt,
+       CAST(est.est_quality AS INT) AS est_quality
+FROM fx f LEFT JOIN est ON est.image_id = f.image_id
 """,
         # orientation dedup: the fixture stores exact lossless inverse
         # transforms, so display-normalized clusters == group-by-source

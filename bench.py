@@ -80,6 +80,7 @@ HEADLINE = [
     "cluster_size_histogram",
     "exif_metadata",
     "orientation_dedup",
+    "jpeg_quality_estimate",
     "bm25_topk",  # runs on the pinned Zipf fixture at the production
     # df prune (sf-independent, like the image-fixture queries)
 ]

@@ -356,6 +356,30 @@ def generate_exif_corpus(n: int = 40, seed: int = 13) -> pd.DataFrame:
     )
 
 
+QUALITY_LEVELS = (55, 70, 85, 92, 99)
+
+
+def generate_quality_corpus(n: int = 30, seed: int = 19) -> pd.DataFrame:
+    """JPEGs encoded at cycling libjpeg qualities (QUALITY_LEVELS) +
+    one PPM row — the quality-estimation fixture. `quality` records
+    the encode-time ground truth for tests; the oracle ignores it and
+    recomputes the estimate from the raw DQT bytes."""
+    from dedup_spark.multimodal.jpeg import encode_jpeg
+
+    rows = []
+    for i in range(n):
+        iid = f"q{i:04d}"
+        px = _smooth_image(f"{seed}:{iid}".encode(), 16, 16)
+        if i == n - 1:
+            rows.append((iid, encode_ppm(px), 16, 16, "ppm", -1))
+            continue
+        q = QUALITY_LEVELS[i % len(QUALITY_LEVELS)]
+        rows.append((iid, encode_jpeg(px, quality=q), 16, 16, "jpeg", q))
+    return pd.DataFrame(
+        rows, columns=["image_id", "bytes", "w", "h", "fmt", "quality"]
+    )
+
+
 def generate_orientation_corpus(n_src: int = 20, seed: int = 17) -> pd.DataFrame:
     """Each source photo stored under all 8 TIFF orientations: the
     stored pixels are the EXACT inverse transform of the display image

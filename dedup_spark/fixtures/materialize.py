@@ -144,6 +144,36 @@ def fixture_audio_parquet(params: dict | None = None) -> str:
     return _write_atomic(table, out_dir, path)
 
 
+QUALITY_PARAMS = dict(n=30, seed=19)
+
+
+def fixture_quality_parquet(params: dict | None = None) -> str:
+    """Pinned varied-quality JPEG corpus (fixtures/images.py
+    generate_quality_corpus)."""
+    import pyarrow as pa
+
+    from dedup_spark.fixtures.images import generate_quality_corpus
+
+    params = dict(QUALITY_PARAMS if params is None else params)
+    out_dir = os.path.join(FIXTURE_ROOT, "quality_" + _params_tag(params))
+    path = os.path.join(out_dir, "quality.parquet")
+    if os.path.exists(path):
+        return path
+    pdf = generate_quality_corpus(**params)
+    table = pa.Table.from_arrays(
+        [
+            pa.array(pdf["image_id"], type=pa.string()),
+            pa.array(pdf["bytes"], type=pa.binary()),
+            pa.array(pdf["w"], type=pa.int32()),
+            pa.array(pdf["h"], type=pa.int32()),
+            pa.array(pdf["fmt"], type=pa.string()),
+            pa.array(pdf["quality"], type=pa.int32()),
+        ],
+        names=["image_id", "bytes", "w", "h", "fmt", "quality"],
+    )
+    return _write_atomic(table, out_dir, path)
+
+
 ORIENT_PARAMS = dict(n_src=20, seed=17)
 
 

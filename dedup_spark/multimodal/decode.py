@@ -410,6 +410,38 @@ def thumbprint_clusters(
     )
 
 
+def jpeg_quality_estimates(
+    df: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """(id, has_dqt, est_quality): libjpeg quality estimated from the
+    luma DQT alone — no pixel decode (multimodal/jpeg.py
+    estimate_quality). The recompression-filter signal at scan speed;
+    non-JPEGs and foreign quant tables yield has_dqt=false /
+    est_quality null and the job survives."""
+    from dedup_spark.multimodal.jpeg import estimate_quality, find_luma_qt
+
+    def _est(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rid, data in zip(pdf[id_col], pdf[bytes_col]):
+                b = bytes(data)
+                try:
+                    has = find_luma_qt(b) is not None
+                    est = estimate_quality(b) if has else None
+                except Exception:  # malformed: survive  # noqa: BLE001
+                    has, est = False, None
+                rows.append((rid, has, est))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "has_dqt", "est_quality"]
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(
+        _est, schema=f"{id_col} string, has_dqt boolean, est_quality int"
+    )
+
+
 def frame_sample_stub(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Frame sampling for CODEC-COMPRESSED video (h264/vp9/...) — STUB:
     those decoders are absent from this container. The REAL frame

@@ -482,3 +482,57 @@ def _decode_scan(entropy, frame, scan, qts, huff, restart_interval):
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# quality estimation (metadata tier: no decode)
+# ---------------------------------------------------------------------------
+
+
+def find_luma_qt(data: bytes) -> np.ndarray | None:
+    """General segment walk to the first DQT with table id 0; returns
+    the 64 zigzag-order step sizes, or None if absent / not a JPEG.
+    8-bit tables only (pq=0) — what baseline JFIF uses."""
+    if data[:2] != b"\xff\xd8":
+        return None
+    i, n = 2, len(data)
+    while i + 4 <= n:
+        if data[i] != 0xFF:
+            return None
+        marker = data[i + 1]
+        if marker in (0xDA, 0xD9):
+            return None
+        seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+        seg = data[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                width = 128 if pq else 64
+                if tq == 0 and pq == 0:
+                    if len(seg) < j + 1 + 64:
+                        return None
+                    return np.frombuffer(
+                        seg[j + 1 : j + 65], dtype=np.uint8
+                    ).astype(np.int64)
+                j += 1 + width
+        i += 2 + seg_len
+    return None
+
+
+def estimate_quality(data: bytes) -> int | None:
+    """Invert the libjpeg scaling: the LARGEST q in 1..100 whose
+    regenerated luma table equals the stored one at all 64 entries
+    (several low q values can share a table — floor(5000/q) collides —
+    so max is the deterministic tie rule). None if no 8-bit luma DQT
+    or the table matches no standard-base quality (foreign tables).
+    This is the recompression-filter signal curation pipelines use —
+    computed at scan speed, no pixel decode."""
+    stored = find_luma_qt(data)
+    if stored is None:
+        return None
+    base_zz = _QT_LUMA.reshape(64)[ZIGZAG]
+    for q in range(100, 0, -1):
+        if np.array_equal(_scaled_qt(base_zz, q).astype(np.int64), stored):
+            return q
+    return None

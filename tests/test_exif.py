@@ -173,3 +173,54 @@ def test_truncated_exif_raises_valueerror_not_struct_error():
     )
     with pytest.raises(ValueError):
         parse_exif(bad)
+
+
+def test_quality_estimation_inverts_every_level():
+    """For every q in 1..100 the estimate regenerates the SAME table
+    (equal to q except where floor(5000/q) collides, where the max of
+    the collision class is the pinned tie rule)."""
+    from dedup_spark.multimodal.jpeg import (
+        _QT_LUMA,
+        ZIGZAG,
+        _scaled_qt,
+        encode_jpeg,
+        estimate_quality,
+    )
+
+    rng = np.random.default_rng(2)
+    px = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    base = _QT_LUMA.reshape(64)[ZIGZAG]
+    for q in range(1, 101):
+        est = estimate_quality(encode_jpeg(px, quality=q))
+        assert est is not None and est >= q
+        assert np.array_equal(_scaled_qt(base, est), _scaled_qt(base, q))
+
+
+def test_quality_estimation_fixture_ground_truth(spark):
+    from dedup_spark.fixtures.images import generate_quality_corpus
+    from dedup_spark.multimodal.decode import jpeg_quality_estimates
+
+    pdf = generate_quality_corpus(n=12)
+    df = spark.createDataFrame(
+        pdf[["image_id", "bytes"]], "image_id string, bytes binary"
+    )
+    got = {r.image_id: r for r in jpeg_quality_estimates(df).collect()}
+    for row in pdf.itertuples(index=False):
+        if row.fmt == "ppm":
+            assert got[row.image_id].has_dqt is False
+            assert got[row.image_id].est_quality is None
+        else:
+            assert got[row.image_id].est_quality == row.quality
+
+
+def test_quality_estimation_foreign_table_returns_none():
+    """A JPEG whose DQT doesn't come from the standard base table
+    (e.g. flat-64 steps) matches no candidate quality."""
+    from dedup_spark.multimodal.jpeg import encode_jpeg, estimate_quality
+
+    rng = np.random.default_rng(3)
+    jp = bytearray(encode_jpeg(
+        rng.integers(0, 256, (8, 8, 3), dtype=np.uint8), quality=90
+    ))
+    jp[25:89] = bytes([64]) * 64  # overwrite luma table with flat 64s
+    assert estimate_quality(bytes(jp)) is None
