@@ -910,6 +910,46 @@ def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty scoring — the dedup-aware data-valuation signal
+    (how much of each doc is FIRST-SEEN under the corpus's doc_id
+    order): per doc, the fraction of its distinct word-3-grams whose
+    minimum carrier doc_id is itself. Duplicated/boilerplate-heavy
+    docs score near 0, novel docs near 1 — the per-doc complement of
+    exact_span_dedup's corpus view. Two combinable aggregations
+    (gram → min doc) + a join back; no windows, no pair joins. The
+    oracle recomputes grams, first carriers, and the ratio."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(2)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+    )
+    g = (
+        _docs(spark, sf_dir)
+        .filter(F.trim(F.col("text")) != "")
+        .filter(F.size(toks) >= 3)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    first = g.groupBy("gram").agg(F.min("doc_id").alias("_first"))
+    per_doc = (
+        g.join(first, on="gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("_first") == F.col("doc_id")).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+            F.round(
+                F.sum((F.col("_first") == F.col("doc_id")).cast("long"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty"),
+        )
+    )
+    return per_doc
+
+
 def q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dup-graph shape report: the distribution of near-dup cluster
     sizes (how much of the corpus is pairs vs floods — the number that
@@ -2623,6 +2663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": q_table_profile,
         "cross_source_dup_matrix": q_cross_source_dup_matrix,
         "cluster_size_histogram": q_cluster_size_histogram,
+        "ngram_novelty": q_ngram_novelty,
         "bm25_topk": q_bm25_topk,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_shipping_priority": q_tpch_shipping_priority,
@@ -3426,6 +3467,27 @@ reach(src, dst) AS (
 )
 SELECT src AS doc_id, min(dst) AS cluster_id
 FROM reach GROUP BY src
+""",
+        # novelty: grams -> first carrier (min doc_id) -> per-doc ratio
+        "ngram_novelty": f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS arr FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+),
+g AS (
+  SELECT DISTINCT doc_id, array_to_string(arr[i : i + 2], ' ') AS gram
+  FROM t, UNNEST(range(1, len(arr) - 1)) AS u(i)
+  WHERE len(arr) >= 3
+),
+fst AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN fst.first_doc = g.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       round(sum(CASE WHEN fst.first_doc = g.doc_id THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 6) AS novelty
+FROM g JOIN fst USING (gram)
+GROUP BY 1
 """,
         # cluster-size histogram: same closure + the singleton
         # complement, then the double aggregation

@@ -78,6 +78,7 @@ HEADLINE = [
     "table_profile",
     "cross_source_dup_matrix",
     "cluster_size_histogram",
+    "ngram_novelty",
     "exif_metadata",
     "orientation_dedup",
     "jpeg_quality_estimate",
