@@ -2804,7 +2804,11 @@ nr AS (SELECT doc_id, sqrt(CAST(sum(cnt*cnt) AS DOUBLE)) AS nrm
 
     rescale_fixture = f"read_parquet('{fixture_rescale_parquet()}')"
     exif_fixture = f"read_parquet('{fixture_exif_parquet()}')"
-    from dedup_spark.fixtures.materialize import fixture_quality_parquet
+    from dedup_spark.fixtures.materialize import (
+        fixture_orientation_parquet,
+        fixture_quality_parquet,
+        fixture_zipf_docs_parquet,
+    )
     from dedup_spark.multimodal.jpeg import _QT_LUMA, ZIGZAG
 
     quality_fixture = f"read_parquet('{fixture_quality_parquet()}')"
@@ -2812,11 +2816,6 @@ nr AS (SELECT doc_id, sqrt(CAST(sum(cnt*cnt) AS DOUBLE)) AS nrm
         f"({i}, {int(v)})"
         for i, v in enumerate(_QT_LUMA.reshape(64)[ZIGZAG])
     )
-    from dedup_spark.fixtures.materialize import (
-        fixture_orientation_parquet,
-        fixture_zipf_docs_parquet,
-    )
-
     zipf_fixture = f"read_parquet('{fixture_zipf_docs_parquet()}')"
     orient_fixture = f"read_parquet('{fixture_orientation_parquet()}')"
     # 256-row hex-pair lookup: this DuckDB build cannot slice or hash

@@ -416,20 +416,26 @@ def jpeg_quality_estimates(
     bytes_col: str = "bytes",
 ) -> DataFrame:
     """(id, has_dqt, est_quality): libjpeg quality estimated from the
-    luma DQT alone — no pixel decode (multimodal/jpeg.py
-    estimate_quality). The recompression-filter signal at scan speed;
-    non-JPEGs and foreign quant tables yield has_dqt=false /
-    est_quality null and the job survives."""
-    from dedup_spark.multimodal.jpeg import estimate_quality, find_luma_qt
+    luma DQT alone — no pixel decode (multimodal/jpeg.py). The
+    recompression-filter signal at scan speed. Non-JPEGs / missing
+    tables yield has_dqt=false; a FOREIGN (non-standard-base) quant
+    table yields has_dqt=true with est_quality null; malformed or
+    null payloads survive as (false, null) — the 10^12-row
+    invariant. One segment walk per row; the 100 candidate tables are
+    precomputed module constants."""
+    from dedup_spark.multimodal.jpeg import (
+        estimate_quality_from_table,
+        find_luma_qt,
+    )
 
     def _est(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for rid, data in zip(pdf[id_col], pdf[bytes_col]):
-                b = bytes(data)
                 try:
-                    has = find_luma_qt(b) is not None
-                    est = estimate_quality(b) if has else None
+                    qt = None if data is None else find_luma_qt(bytes(data))
+                    has = qt is not None
+                    est = estimate_quality_from_table(qt) if has else None
                 except Exception:  # malformed: survive  # noqa: BLE001
                     has, est = False, None
                 rows.append((rid, has, est))

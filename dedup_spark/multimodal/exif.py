@@ -127,6 +127,8 @@ def _parse_exif_inner(jpeg: bytes) -> dict | None:
     while i + 4 <= n:
         if jpeg[i] != 0xFF:
             raise ValueError("marker expected")
+        while i + 1 < n and jpeg[i + 1] == 0xFF:  # fill bytes (T.81 B.1.1.2)
+            i += 1
         marker = jpeg[i + 1]
         if marker == 0xDA or marker == 0xD9:  # scan data / EOI: stop
             break

@@ -365,6 +365,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while i < n:
         if data[i] != 0xFF:
             raise ValueError("marker expected")
+        while i + 1 < n and data[i + 1] == 0xFF:  # fill bytes (T.81 B.1.1.2)
+            i += 1
         marker = data[i + 1]
         i += 2
         if marker == 0xD9:  # EOI without scan
@@ -492,13 +494,16 @@ def _decode_scan(entropy, frame, scan, qts, huff, restart_interval):
 def find_luma_qt(data: bytes) -> np.ndarray | None:
     """General segment walk to the first DQT with table id 0; returns
     the 64 zigzag-order step sizes, or None if absent / not a JPEG.
-    8-bit tables only (pq=0) — what baseline JFIF uses."""
+    8-bit tables only (pq=0) — what baseline JFIF uses. Spec-legal
+    0xFF fill bytes before a marker are skipped."""
     if data[:2] != b"\xff\xd8":
         return None
     i, n = 2, len(data)
     while i + 4 <= n:
         if data[i] != 0xFF:
             return None
+        while i + 1 < n and data[i + 1] == 0xFF:  # fill bytes (T.81 B.1.1.2)
+            i += 1
         marker = data[i + 1]
         if marker in (0xDA, 0xD9):
             return None
@@ -520,19 +525,35 @@ def find_luma_qt(data: bytes) -> np.ndarray | None:
     return None
 
 
+_CANDIDATE_QTS = None  # (100, 64) int64: row q-1 = scaled zigzag luma table
+
+
+def _candidate_tables() -> np.ndarray:
+    global _CANDIDATE_QTS
+    if _CANDIDATE_QTS is None:
+        base_zz = _QT_LUMA.reshape(64)[ZIGZAG]
+        _CANDIDATE_QTS = np.stack(
+            [_scaled_qt(base_zz, q).astype(np.int64) for q in range(1, 101)]
+        )
+    return _CANDIDATE_QTS
+
+
+def estimate_quality_from_table(stored: np.ndarray) -> int | None:
+    """Largest q in 1..100 whose regenerated luma table equals
+    ``stored`` at all 64 entries (several low q values share a table —
+    floor(5000/q) collides — so max is the deterministic tie rule).
+    One vectorized (100, 64) comparison against precomputed candidate
+    tables. None if the table matches no standard-base quality."""
+    hits = np.flatnonzero((_candidate_tables() == stored).all(axis=1))
+    return int(hits[-1]) + 1 if hits.size else None
+
+
 def estimate_quality(data: bytes) -> int | None:
-    """Invert the libjpeg scaling: the LARGEST q in 1..100 whose
-    regenerated luma table equals the stored one at all 64 entries
-    (several low q values can share a table — floor(5000/q) collides —
-    so max is the deterministic tie rule). None if no 8-bit luma DQT
-    or the table matches no standard-base quality (foreign tables).
-    This is the recompression-filter signal curation pipelines use —
-    computed at scan speed, no pixel decode."""
+    """Invert the libjpeg scaling from the luma DQT alone — the
+    recompression-filter signal curation pipelines use, computed at
+    scan speed with no pixel decode. None if no 8-bit luma DQT or a
+    foreign (non-standard-base) table."""
     stored = find_luma_qt(data)
     if stored is None:
         return None
-    base_zz = _QT_LUMA.reshape(64)[ZIGZAG]
-    for q in range(100, 0, -1):
-        if np.array_equal(_scaled_qt(base_zz, q).astype(np.int64), stored):
-            return q
-    return None
+    return estimate_quality_from_table(stored)

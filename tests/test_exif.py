@@ -224,3 +224,52 @@ def test_quality_estimation_foreign_table_returns_none():
     ))
     jp[25:89] = bytes([64]) * 64  # overwrite luma table with flat 64s
     assert estimate_quality(bytes(jp)) is None
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+    marker; all three segment walkers must skip them."""
+    from dedup_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        estimate_quality,
+    )
+
+    rng = np.random.default_rng(4)
+    jp = encode_jpeg(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8), 90)
+    # insert two fill bytes before the DQT marker (after SOI+APP0 = 20)
+    padded = jp[:20] + b"\xff\xff" + jp[20:]
+    assert estimate_quality(padded) == 90
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(jp))
+    # and before an APP1 for the exif walker
+    app1 = build_exif_app1(
+        "maker-0003", "model-0003", 2, 8, 8, "2024:01:03 03:00:00"
+    )
+    padded_exif = jp[:2] + b"\xff\xff" + app1 + jp[2:]
+    assert parse_exif(padded_exif)[TAG_ORIENTATION] == 2
+
+
+def test_quality_estimates_contract_foreign_and_null(spark):
+    """Foreign quant table -> (has_dqt=true, est null); NULL bytes ->
+    (false, null) and the job survives."""
+    import pandas as pd
+
+    from dedup_spark.multimodal.decode import jpeg_quality_estimates
+    from dedup_spark.multimodal.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(5)
+    jp = bytearray(
+        encode_jpeg(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8), 90)
+    )
+    jp[25:89] = bytes([64]) * 64  # foreign flat table
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"image_id": ["foreign", "nullrow"], "bytes": [bytes(jp), None]}
+        ),
+        "image_id string, bytes binary",
+    )
+    got = {r.image_id: r for r in jpeg_quality_estimates(df).collect()}
+    assert got["foreign"].has_dqt is True
+    assert got["foreign"].est_quality is None
+    assert got["nullrow"].has_dqt is False
+    assert got["nullrow"].est_quality is None
