@@ -1417,7 +1417,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFPQ top-k search (operators/pq.py — Jégou et al. 2011 / the
     FAISS IVFPQ shape): coarse cells route probes, candidates are
-    ranked by ADC from 8 PQ codes alone (the candidate join never
+    ranked by ADC from 16 8-bit PQ codes alone (the candidate join never
     ships a full vector), the top-64 shortlist is re-ranked by exact
     cosine. At the gate config — FULL probe, shortlist 64 vs k=5 —
     the output must equal the brute GEMM top-k ROW FOR ROW against
@@ -2621,7 +2621,45 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver's correctness harness checks (at most)
+    # the FIRST 50 entries. Rounds 3+4 each snapshotted a different
+    # 50-window; this round leads with the 10 queries that have never
+    # appeared in any driver CORRECTNESS artifact, then the 19 last
+    # driver-checked in round 3, then 21 round-4-covered entries to
+    # fill the window — so r4 + r5 artifacts jointly cover all 79.
     return {
+        # --- never driver-snapshotted (verdict r4 item 1) ---
+        "rescale_dedup": q_rescale_dedup,
+        "exif_metadata": q_exif_metadata,
+        "jpeg_quality_estimate": q_jpeg_quality_estimate,
+        "orientation_dedup": q_orientation_dedup,
+        "cdc_chunk_dedup": q_cdc_chunk_dedup,
+        "avi_video_dedup": q_avi_video_dedup,
+        "stratified_sample": q_stratified_sample,
+        "sequence_packing": q_sequence_packing,
+        "source_mixing": q_source_mixing,
+        "training_mixture": q_training_mixture,
+        # --- last driver-checked in round 3 ---
+        "ann_gaussian_recall": q_ann_gaussian_recall,
+        "simhash_text_pairs": q_simhash_text_pairs,
+        "substring_containment": q_substring_containment,
+        "caption_substring_pairs": q_caption_substring_pairs,
+        "doc_fingerprints": q_doc_fingerprints,
+        "image_exact_dedup": q_image_exact_dedup,
+        "image_features": q_image_features,
+        "phash_hamming_pairs": q_phash_hamming_pairs,
+        "image_decode_fidelity": q_image_decode_fidelity,
+        "jpeg_roundtrip_fidelity": q_jpeg_roundtrip_fidelity,
+        "crossformat_pixel_dedup": q_crossformat_pixel_dedup,
+        "multimodal_dedup_pipeline": q_multimodal_dedup_pipeline,
+        "video_frame_dedup": q_video_frame_dedup,
+        "audio_fingerprint_dups": q_audio_fingerprint_dups,
+        "sketch_stats": q_sketch_stats,
+        "boilerplate_stats": q_boilerplate_stats,
+        "repetition_stats": q_repetition_stats,
+        "pii_scan": q_pii_scan,
+        "deterministic_shuffle": q_deterministic_shuffle,
+        # --- round-4-covered fill to the 50-window ---
         "exact_dup_clusters": q_exact_dup_clusters,
         "exact_dup_clusters_3pass": q_exact_dup_clusters_3pass,
         "dup_stats": q_dup_stats,
@@ -2643,6 +2681,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_safe_split": q_cluster_safe_split,
         "quality_dedup_keep": q_quality_dedup_keep,
         "flood_cc_clusters": q_flood_cc_clusters,
+        # --- beyond the driver's 50-window (all green in
+        # CORRECTNESS_r04.json; re-verified each round by
+        # tools/check_oracle.py --json snapshots) ---
         "incremental_dedup": q_incremental_dedup,
         "streaming_watermark_dedup": q_streaming_watermark_dedup,
         "streaming_sessionization": q_streaming_sessionization,
@@ -2672,35 +2713,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall_report": q_ivf_recall_report,
         "ivf_topk": q_ivf_topk,
         "pq_topk": q_pq_topk,
-        "ann_gaussian_recall": q_ann_gaussian_recall,
-        "simhash_text_pairs": q_simhash_text_pairs,
-        "substring_containment": q_substring_containment,
-        "caption_substring_pairs": q_caption_substring_pairs,
-        "doc_fingerprints": q_doc_fingerprints,
-        "image_exact_dedup": q_image_exact_dedup,
-        "image_features": q_image_features,
-        "phash_hamming_pairs": q_phash_hamming_pairs,
-        "image_decode_fidelity": q_image_decode_fidelity,
-        "jpeg_roundtrip_fidelity": q_jpeg_roundtrip_fidelity,
-        "crossformat_pixel_dedup": q_crossformat_pixel_dedup,
-        "rescale_dedup": q_rescale_dedup,
-        "exif_metadata": q_exif_metadata,
-        "jpeg_quality_estimate": q_jpeg_quality_estimate,
-        "orientation_dedup": q_orientation_dedup,
-        "cdc_chunk_dedup": q_cdc_chunk_dedup,
-        "multimodal_dedup_pipeline": q_multimodal_dedup_pipeline,
-        "video_frame_dedup": q_video_frame_dedup,
-        "avi_video_dedup": q_avi_video_dedup,
-        "audio_fingerprint_dups": q_audio_fingerprint_dups,
-        "sketch_stats": q_sketch_stats,
-        "boilerplate_stats": q_boilerplate_stats,
-        "repetition_stats": q_repetition_stats,
-        "pii_scan": q_pii_scan,
-        "deterministic_shuffle": q_deterministic_shuffle,
-        "stratified_sample": q_stratified_sample,
-        "sequence_packing": q_sequence_packing,
-        "source_mixing": q_source_mixing,
-        "training_mixture": q_training_mixture,
     }
 
 

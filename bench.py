@@ -280,7 +280,31 @@ def main() -> None:
             result["cpu_sec_per_kimg"] = round(
                 1000 * cpu[rate_q] / n_images, 3
             )
-    print(json.dumps(result))
+    if args.only:
+        # tool mode (bench_scaling/bench_sf1/bench_events_scaling parse
+        # the full per-query dicts from this line) — print everything
+        print(json.dumps(result))
+        return
+    # driver mode: the full suite is ~50 queries x 2 dicts and the one
+    # JSON line outgrew the driver's tail-capture window in round 4
+    # (BENCH_r04.json parsed:null). Full detail goes to
+    # BENCH/bench_detail.json; stdout gets a compact LAST line with the
+    # top-10 walls only.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH",
+        "bench_detail.json",
+    )
+    os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+    with open(detail_path, "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+    top10 = dict(
+        sorted(times.items(), key=lambda kv: -kv[1])[:10]
+    )
+    compact = {k: v for k, v in result.items() if k != "cpu_sec"}
+    compact["queries"] = top10
+    compact["n_queries_run"] = len(times)
+    compact["detail"] = "BENCH/bench_detail.json"
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -649,8 +649,10 @@ def embed_text_udf(dim: int = 64):
     SQL-reproducible so a corpus that arrives WITHOUT vectors can still
     run the whole semantic-dedup tier under the oracle: for every word
     bigram "w_i w_{i+1}", h = FNV-1a(bigram); the bigram adds
-    sign = ±1 (bit 6 of h) to bucket h % dim (bits 0..5 for dim=64 —
-    disjoint from the sign bit). Counts are exact integers, the norm is
+    sign = ±1 (bit log2(dim) of h — bit 6 at the default dim=64) to
+    bucket h % dim (bits 0..log2(dim)-1 — disjoint from the sign bit
+    by construction; dim must be a power of two so the invariant is
+    enforced, not assumed). Counts are exact integers, the norm is
     one sqrt, each component one division — every arithmetic step is
     order-independent or a single IEEE op, so DuckDB recomputes the
     identical doubles from the same FNV hashes (the minhash oracle's
@@ -663,6 +665,10 @@ def embed_text_udf(dim: int = 64):
     (hash_tokens_np), one np.add.at scatter into the (n_docs, dim)
     count matrix — no per-document Python in the accumulation."""
     from dedup_spark.operators.minhash import hash_tokens_np
+
+    if dim <= 0 or dim & (dim - 1):
+        raise ValueError(f"dim must be a power of two, got {dim}")
+    sign_bit = np.uint64(dim.bit_length() - 1)
 
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def _embed(texts: pd.Series) -> pd.Series:
@@ -680,7 +686,7 @@ def embed_text_udf(dim: int = 64):
             h = hash_tokens_np(list(uniques))[codes]
             bucket = (h % np.uint64(dim)).astype(np.int64)
             sign = np.where(
-                (h >> np.uint64(6)) & np.uint64(1) == 0, 1, -1
+                (h >> sign_bit) & np.uint64(1) == 0, 1, -1
             ).astype(np.int64)
             counts = np.zeros((n_docs, dim), dtype=np.int64)
             np.add.at(counts, (np.asarray(doc_of), bucket), sign)

@@ -10,10 +10,10 @@ per-subspace dot products with the reconstruction, then a shortlist is
 re-ranked with the TRUE vectors.
 
 Why this is the 100 TB tier: the IVF candidate join ships ``m`` small
-ints (here 8 codes ≈ 4 bits each of information, stored as ints) per
-candidate instead of the 64-double embedding — the wide, shuffled side
-of the search is ~64× lighter, and only ``shortlist`` rows per query
-ever re-join the full vectors. Memory for a resident index is
+ints (the gate config is m=16 codes × 8 bits = 16 B of code payload
+per vector, stored as ints) per candidate instead of the 64-double
+embedding — the wide, shuffled side of the search is ~32× lighter,
+and only ``shortlist`` rows per query ever re-join the full vectors. Memory for a resident index is
 m·log2(ksub) bits/vector (+ cell id) instead of 256 B of float32.
 
 Determinism discipline (identical to ``kmeans_centroids``,

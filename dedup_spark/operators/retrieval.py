@@ -106,10 +106,10 @@ def bm25_topk(
     )
     avgdl = F.col("sdl") / F.col("n")
     contrib = F.col("idf") * (
-        (F.col("tf") * F.lit(2.2))
+        (F.col("tf") * F.lit(K1 + 1.0))
         / (
             F.col("tf")
-            + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (F.col("dl") / avgdl))
+            + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * (F.col("dl") / avgdl))
         )
     )
     scored = (

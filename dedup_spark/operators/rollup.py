@@ -39,9 +39,12 @@ def cascade_rollup(
     """Roll ``df`` up through ``grains`` (finest first), each level
     aggregated FROM the previous level's aggregates. Returns the
     coarsest grain: (keys..., bucket timestamp, n_events, sum_value,
-    n_finer_buckets). count/sum combine exactly; n_finer_buckets is the
-    count of ACTIVE next-finer buckets (a cascade-only quantity a
-    direct aggregation must reproduce with count(distinct trunc))."""
+    n_finer_buckets). count/sum combine exactly; n_finer_buckets is
+    the count of ACTIVE next-finer buckets (a cascade-only quantity a
+    direct aggregation must reproduce with count(distinct trunc)).
+    The column is present at EVERY grain count: with a single grain the
+    next-finer unit is the raw event timestamp, so n_finer_buckets =
+    count(distinct ts) within the bucket."""
     keys = list(keys or [])
     grains = list(grains or ["hour", "day"])
     order = {g: i for i, g in enumerate(GRAIN_ORDER)}
@@ -53,6 +56,10 @@ def cascade_rollup(
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(value_col).alias("sum_value"),
+        # schema is grain-count-independent: at the finest level the
+        # "next-finer bucket" is the raw event timestamp (recomputed by
+        # the loop below at coarser grains, so harmless for len >= 2)
+        F.count_distinct(F.col(ts_col)).alias("n_finer_buckets"),
     )
     for g in grains[1:]:
         level = level.groupBy(

@@ -68,7 +68,15 @@ def asof_join(
     independently: a matched right row whose value column is NULL must
     yield that NULL (the ASOF contract), not resurrect a non-null
     value from an older row — per-column ignorenulls fills would pair
-    a (ts, value) that never co-occurred."""
+    a (ts, value) that never co-occurred.
+
+    When several right rows share the same (key, ts), the one with the
+    GREATEST payload struct (field order: matched ts, then right_cols)
+    wins — the payload participates in the window ordering, so last()
+    is deterministic rather than picking whichever duplicate happened
+    to be physically last. (DuckDB's native ASOF pick among exact-ts
+    duplicates is arbitrary; fixtures keep (key, ts) unique on the
+    right so the oracle gate is insensitive to either choice.)"""
     r2 = right.select(
         F.col(on),
         F.col(ts_col),
@@ -82,7 +90,14 @@ def asof_join(
     u = l2.unionByName(r2, allowMissingColumns=True)
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(ts_col).asc(), F.col("_tag").asc())
+        .orderBy(
+            F.col(ts_col).asc(),
+            F.col("_tag").asc(),
+            # deterministic tie-break among right rows sharing ts:
+            # greatest payload struct wins (left rows have a null
+            # payload; asc_nulls_first keeps them from interleaving)
+            F.col("_r_payload").asc_nulls_first(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     u = u.withColumn(

@@ -80,19 +80,60 @@ def write_bucketed(
     return table_name
 
 
+_POINTER = "_CURRENT"
+_INPROGRESS = ".inprogress"
+
+
+def _current_snapshot(root: Path) -> Path | None:
+    """Resolve the published snapshot dir, or None if unpublished."""
+    ptr = root / _POINTER
+    try:
+        snap = root / ptr.read_text().strip()
+    except OSError:
+        return None
+    return snap if snap.is_dir() else None
+
+
+def read_table(spark: SparkSession, target: str) -> DataFrame:
+    """Read a table written by ``write_table``'s parquet fallback.
+
+    Resolves the ``_CURRENT`` pointer to the published snapshot dir; a
+    directory without a pointer (legacy plain-parquet layout) is read
+    as-is, so existing outputs keep working."""
+    snap = _current_snapshot(Path(target))
+    return spark.read.parquet(str(snap) if snap else target)
+
+
 def write_table(
     df: DataFrame,
     target: str,
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
 ) -> str:
-    """Atomic table write.
+    """Atomic table commit.
 
     Iceberg: ``writeTo(...).createOrReplace()`` (snapshot commit is
-    atomic). Parquet fallback: write to a temp dir, then atomic rename +
-    manifest — a reader never observes a half-written table, the same
-    invariant as the reference's temp-hardlink + rename
-    (src/actions.rs:118-136).
+    atomic). Parquet fallback: the Iceberg commit protocol rebuilt on
+    POSIX rename — the full crash-safe analog of the reference's
+    temp-hardlink + rename (src/actions.rs:118-136):
+
+      1. write data to ``<table>/snap-<uuid>.inprogress/``
+      2. write ``_MANIFEST.json`` inside it (seals the data)
+      3. ``rename`` the dir to ``snap-<uuid>`` (atomic: snapshot exists
+         fully or not at all)
+      4. publish by writing the snapshot name to a temp pointer file and
+         ``os.replace``-ing it onto ``_CURRENT`` (atomic on POSIX)
+
+    A reader (``read_table``) resolves ``_CURRENT`` first, so a crash at
+    ANY step leaves the previous published snapshot intact and readable
+    — unlike a delete-then-rename overwrite, which loses the old table
+    if the writer dies between the two. Concurrent writers each build
+    their own snapshot dir and race only on the final ``os.replace``;
+    the loser's snapshot stays on disk (never torn) until
+    ``vacuum_table`` prunes it — Iceberg's last-commit-wins replace
+    semantics, without conflict detection. Crash litter
+    (``*.inprogress`` dirs, unpublished snapshots, orphan pointer
+    temps) is invisible to readers and reclaimed by ``vacuum_table``.
     """
     spark = df.sparkSession
     if iceberg_available(spark) and "/" not in target:
@@ -104,8 +145,16 @@ def write_table(
         writer.createOrReplace()
         return target
 
-    final = Path(target)
-    tmp = final.with_name(f".{final.name}.tmp-{uuid.uuid4().hex[:8]}")
+    root = Path(target)
+    if mode != "overwrite" and (
+        _current_snapshot(root) is not None
+        or (root / "_SUCCESS").exists()  # legacy plain-parquet table
+    ):
+        raise FileExistsError(f"{root} exists and mode={mode}")
+    root.mkdir(parents=True, exist_ok=True)
+
+    snap_name = f"snap-{uuid.uuid4().hex[:12]}"
+    tmp = root / (snap_name + _INPROGRESS)
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
@@ -117,9 +166,41 @@ def write_table(
         "format": "parquet",
     }
     (tmp / "_MANIFEST.json").write_text(json.dumps(manifest))
-    if final.exists():
-        if mode != "overwrite":
-            raise FileExistsError(f"{final} exists and mode={mode}")
-        shutil.rmtree(final)
-    os.rename(tmp, final)
-    return str(final)
+    os.rename(tmp, root / snap_name)  # seal the snapshot
+
+    ptr_tmp = root / f".{_POINTER}.tmp-{uuid.uuid4().hex[:8]}"
+    ptr_tmp.write_text(snap_name)
+    os.replace(ptr_tmp, root / _POINTER)  # publish (atomic)
+    return str(root)
+
+
+def vacuum_table(target: str, keep_current: bool = True) -> list[str]:
+    """Reclaim crash litter and superseded snapshots.
+
+    Removes ``*.inprogress`` dirs, orphan pointer temps, and sealed
+    snapshots other than the published one. Safe against a concurrent
+    COMMIT (it never touches the pointer or the dir the pointer names,
+    re-read after each candidate); like Iceberg's expire-snapshots, it
+    must not run concurrently with a READER of an old snapshot."""
+    root = Path(target)
+    removed: list[str] = []
+    for child in list(root.iterdir()) if root.is_dir() else []:
+        name = child.name
+        if name == _POINTER:
+            continue
+        is_litter = name.endswith(_INPROGRESS) or name.startswith(
+            f".{_POINTER}.tmp-"
+        )
+        cur = _current_snapshot(root)
+        is_stale_snap = (
+            name.startswith("snap-")
+            and not name.endswith(_INPROGRESS)
+            and (cur is None or child != cur or not keep_current)
+        )
+        if is_litter or is_stale_snap:
+            if child.is_dir():
+                shutil.rmtree(child, ignore_errors=True)
+            else:
+                child.unlink(missing_ok=True)
+            removed.append(name)
+    return removed

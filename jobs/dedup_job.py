@@ -131,7 +131,9 @@ def main(argv=None) -> int:
         else:
             existing = None
             try:
-                existing = spark.read.parquet(args.output)
+                from dedup_spark.sources.catalog import read_table
+
+                existing = read_table(spark, args.output)
             except Exception:
                 existing = None
             merged = merge_assignments(assigned, existing, id_col=args.id_col)

@@ -285,3 +285,17 @@ def test_embed_text_near_dup_separation(spark):
     }
     assert got[(1, 2)] > 0.9
     assert abs(got[(1, 3)]) < 0.5 and abs(got[(2, 3)]) < 0.5
+
+
+def test_embed_text_udf_rejects_non_power_of_two_dim():
+    """The bucket/sign-bit disjointness invariant (sign = bit
+    log2(dim)) only holds for power-of-two dims — enforced, not
+    assumed (round-4 advice)."""
+    import pytest as _pt
+
+    from dedup_spark.operators.embeddings import embed_text_udf
+
+    for bad in (0, -8, 63, 100):
+        with _pt.raises(ValueError):
+            embed_text_udf(dim=bad)
+    embed_text_udf(dim=128)  # powers of two fine; sign bit = bit 7

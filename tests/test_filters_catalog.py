@@ -104,17 +104,94 @@ def test_stage_metrics_and_partition_lineage(spark):
 
 
 def test_write_table_atomic_and_mode_guard(spark, tmp_path):
+    from dedup_spark.sources.catalog import read_table, vacuum_table
+
     df = spark.range(5).withColumnRenamed("id", "x")
     target = str(tmp_path / "tbl")
     write_table(df, target)
-    back = spark.read.parquet(target)
+    back = read_table(spark, target)
     assert back.count() == 5
-    assert (tmp_path / "tbl" / "_MANIFEST.json").exists()
-    # overwrite succeeds atomically; append-guard raises
+    snap = (tmp_path / "tbl" / (tmp_path / "tbl" / "_CURRENT").read_text())
+    assert (snap / "_MANIFEST.json").exists()
+    # overwrite publishes a NEW snapshot; the old one survives until
+    # vacuum (never a delete-then-rename window)
     write_table(df.filter(F.col("x") < 3), target)
-    assert spark.read.parquet(target).count() == 3
+    assert read_table(spark, target).count() == 3
+    assert snap.is_dir()  # previous snapshot intact
     with pytest.raises(FileExistsError):
         write_table(df, target, mode="error")
+    removed = vacuum_table(target)
+    assert snap.name in removed and not snap.is_dir()
+    assert read_table(spark, target).count() == 3  # current untouched
+
+
+def test_write_table_crash_safety_and_concurrency(spark, tmp_path):
+    """The round-4 verdict item: concurrent-writer / crash semantics of
+    the parquet-fallback commit protocol.
+
+    (a) a writer that dies at ANY step before the pointer swap leaves
+    the previous published snapshot readable — simulated by planting
+    every litter class a crash can leave (an .inprogress data dir, a
+    sealed-but-unpublished snapshot, an orphan pointer temp);
+    (b) two committers racing: last pointer swap wins wholly, the
+    loser's snapshot is sealed on disk, never torn;
+    (c) vacuum reclaims exactly the litter + superseded snapshots."""
+    import threading
+
+    from dedup_spark.sources.catalog import read_table, vacuum_table
+
+    df = spark.range(10).withColumnRenamed("id", "x")
+    target = str(tmp_path / "tbl")
+    write_table(df, target)
+    root = tmp_path / "tbl"
+
+    # (a) crash litter: every pre-publish state a dying writer leaves
+    (root / "snap-deadbeef.inprogress").mkdir()
+    (root / "snap-deadbeef.inprogress" / "part-0.parquet").write_bytes(
+        b"torn"
+    )
+    sealed = root / "snap-unpublished1"
+    sealed.mkdir()
+    (sealed / "_MANIFEST.json").write_text("{}")
+    (root / "._CURRENT.tmp-ab12cd34").write_text("snap-unpublished1")
+    assert read_table(spark, target).count() == 10  # reader unaffected
+
+    # (b) concurrent committers (real threads, one table)
+    barrier = threading.Barrier(2)
+    errs: list[Exception] = []
+
+    def commit(lo: int) -> None:
+        try:
+            part = df.filter(F.col("x") >= lo)
+            barrier.wait()
+            write_table(part, target)
+        except Exception as exc:  # pragma: no cover
+            errs.append(exc)
+
+    threads = [threading.Thread(target=commit, args=(lo,)) for lo in (3, 7)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    # last pointer swap won wholly: count is exactly one writer's output
+    assert read_table(spark, target).count() in (7, 3)
+    # both snapshots sealed on disk (loser never torn)
+    sealed_snaps = [
+        p for p in root.iterdir()
+        if p.name.startswith("snap-") and not p.name.endswith(".inprogress")
+    ]
+    assert len(sealed_snaps) >= 3  # v1 + both racers (+ planted litter)
+
+    # (c) vacuum: litter + superseded gone, published snapshot kept
+    removed = set(vacuum_table(target))
+    assert "snap-deadbeef.inprogress" in removed
+    assert "snap-unpublished1" in removed
+    assert "._CURRENT.tmp-ab12cd34" in removed
+    cur = (root / "_CURRENT").read_text().strip()
+    left = {p.name for p in root.iterdir()}
+    assert left == {"_CURRENT", cur}
+    assert read_table(spark, target).count() in (7, 3)
 
 
 def test_write_table_iceberg_branch(spark, monkeypatch):

@@ -337,3 +337,28 @@ def test_cascade_rollup_equals_direct(spark):
     assert got == {k: (n, round(s, 6)) for k, (n, s) in direct.items()}
     with _pt.raises(ValueError):
         cascade_rollup(df, grains=["day", "hour"])
+
+
+def test_cascade_rollup_single_grain_schema(spark):
+    """A single-grain call keeps the documented 5-column schema:
+    n_finer_buckets exists at every grain count and equals
+    count(distinct ts) within the bucket (the next-finer unit of a
+    finest-level bucket is the raw event timestamp)."""
+    import datetime as dt
+
+    from dedup_spark.operators.rollup import cascade_rollup
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = [
+        ("a", base + dt.timedelta(minutes=m), 1.0)
+        for m in (0, 0, 5, 61)  # two rows share a timestamp
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "value"])
+    out = {
+        str(r["bucket"]): (r["n_events"], r["n_finer_buckets"])
+        for r in cascade_rollup(
+            df, ts_col="ts", keys=["k"], value_col="value", grains=["hour"]
+        ).collect()
+    }
+    assert out[str(base)] == (3, 2)  # 3 events, 2 distinct timestamps
+    assert out[str(base.replace(hour=1))] == (1, 1)

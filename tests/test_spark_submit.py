@@ -65,9 +65,13 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
     assert proc.returncode == 0, proc.stderr[-3000:]
 
     # assignment contract, checked from outside Spark: every byte-dup
-    # group shares one cluster whose id is a member of the group
+    # group shares one cluster whose id is a member of the group.
+    # The output is a versioned commit (catalog.write_table): resolve
+    # the _CURRENT pointer by hand, proving the on-disk protocol is
+    # readable without any engine code.
+    cur = (out_dir / "_CURRENT").read_text().strip()
     rows = duckdb.sql(
-        f"SELECT image_id, cluster_id FROM '{out_dir}/*.parquet'"
+        f"SELECT image_id, cluster_id FROM '{out_dir}/{cur}/*.parquet'"
     ).fetchall()
     assigned = dict(rows)
     truth = corpus.truth.groupby("cluster_id")["image_id"].apply(list)

@@ -107,3 +107,24 @@ def test_asof_null_right_value_carries_atomically(spark):
     row = asof_join(left, right, on="user_id", right_cols=("value",)).collect()[0]
     assert row.ts_matched == _ts(10.0)
     assert row.value_matched is None
+
+
+def test_asof_equal_ts_right_duplicates_deterministic(spark):
+    """Several right rows sharing (key, ts): the GREATEST payload
+    struct wins (documented tie-break). Before the payload joined the
+    window ordering, last() picked whichever duplicate was physically
+    last — partitioning-dependent. Shuffle the input layouts and
+    assert the pick never moves."""
+    left = spark.createDataFrame(
+        [(1, 7, _ts(20.0))], "event_id long, user_id long, ts timestamp_ntz"
+    )
+    dups = [(7, _ts(10.0), 1.0), (7, _ts(10.0), 9.0), (7, _ts(10.0), 4.0)]
+    for perm in (dups, dups[::-1], [dups[1], dups[0], dups[2]]):
+        right = spark.createDataFrame(
+            perm, "user_id long, ts timestamp_ntz, value double"
+        ).repartition(3)
+        row = asof_join(
+            left, right, on="user_id", right_cols=("value",)
+        ).collect()[0]
+        assert row.ts_matched == _ts(10.0)
+        assert row.value_matched == 9.0
