@@ -2059,7 +2059,8 @@ def q_jpeg_roundtrip_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_crossformat_pixel_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pixel-content dedup across container formats — the case byte
     dedup can't see: every fixture image is re-encoded under ppm, png,
-    and baseline jpeg (all real codecs), then clustered by
+    lossless webp, and baseline jpeg (all real codecs — webp is the
+    round-5 from-scratch VP8L implementation), then clustered by
     sha256(decoded pixels). Lossless variants of byte-identical
     originals collapse into ONE cluster regardless of format; the
     deterministic lossy tier forms its own pixel-exact cluster per
@@ -3005,14 +3006,15 @@ SELECT image_id, TRUE AS ok, phash FROM {fixture}
 SELECT image_id, TRUE AS ok, TRUE AS psnr_ok FROM {fixture}
 """,
         # cross-format pixel clusters from the stored bytes: lossless
-        # variants cluster with their byte-group across formats, the
-        # deterministic lossy tier clusters per byte-group on its own
+        # variants (ppm/png/webp) cluster with their byte-group across
+        # formats, the deterministic lossy tier (jpeg) clusters per
+        # byte-group on its own
         "crossformat_pixel_dedup": f"""
 WITH v AS (
   SELECT image_id || '#' || s AS vid,
          CASE WHEN s = 'jpeg' THEN 'J' ELSE 'L' END AS tier,
          bytes
-  FROM {fixture}, (VALUES ('ppm'), ('png'), ('jpeg')) t(s)
+  FROM {fixture}, (VALUES ('ppm'), ('png'), ('jpeg'), ('webp')) t(s)
 )
 SELECT vid AS image_id, TRUE AS ok,
        min(vid) OVER (PARTITION BY tier, bytes) AS cluster_id

@@ -87,15 +87,46 @@ HEADLINE = [
 ]
 
 
+def _own_cpuacct_usage_file() -> str | None:
+    """Path of this process tree's cpuacct.usage, if the process was
+    placed in a NON-ROOT cpuacct cgroup (tools/bench_cgroup.py does
+    this). cgroup accounting is exact — it counts every task that ever
+    lived in the group, including short-lived forked workers that a
+    /proc walk misses between samples — so prefer it when available."""
+    try:
+        with open("/proc/self/cgroup") as f:
+            for line in f:
+                _, ctrl, path = line.strip().split(":", 2)
+                if "cpuacct" in ctrl.split(",") and path not in ("/", ""):
+                    p = f"/sys/fs/cgroup/cpuacct{path}/cpuacct.usage"
+                    if os.path.exists(p):
+                        return p
+    except OSError:
+        pass
+    return None
+
+
+_CPUACCT_FILE = _own_cpuacct_usage_file()
+
+
 def _proc_cpu_seconds() -> float:
     """Total CPU seconds of this process and ALL live descendants
     (Linux) — the JVM and, crucially, the pyspark.daemon python workers
     it forks (grandchildren; a PPID==self filter missed them, which
-    under-counted every pandas-UDF stage — round-3 fix).
+    under-counted every pandas-UDF stage — round-3 fix). When the
+    process runs inside a dedicated cpuacct cgroup (the round-5 quota
+    harness), the kernel's whole-tree counter is used instead — same
+    semantics, exact for reaped children.
 
     Wall-clock on this sandbox is governed by a fluctuating,
     oversubscribed host CPU; cpu-seconds per row is the
     contention-independent cost measure (see BENCH/BASELINE.md)."""
+    if _CPUACCT_FILE is not None:
+        try:
+            with open(_CPUACCT_FILE) as f:
+                return int(f.read()) / 1e9
+        except (OSError, ValueError):
+            pass
     hz = os.sysconf("SC_CLK_TCK")
     me = os.getpid()
     try:

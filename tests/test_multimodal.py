@@ -379,7 +379,9 @@ def test_crossformat_pixel_dedup_clusters(spark):
     shas = {r["image_id"]: r["pixel_sha"] for r in ph.collect()}
     assert all(r["ok"] for r in ph.collect())
     # lossless variants of a and b all share one pixel identity
-    lossless = {shas[f"{i}#{f}"] for i in "ab" for f in ("ppm", "png")}
+    lossless = {
+        shas[f"{i}#{f}"] for i in "ab" for f in ("ppm", "png", "webp")
+    }
     assert len(lossless) == 1
     # the lossy tier is deterministic: a and b's jpegs agree...
     assert shas["a#jpeg"] == shas["b#jpeg"]

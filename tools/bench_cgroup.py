@@ -1,0 +1,262 @@
+"""Two-cluster-size scaling study under cgroup CPU quota (north-rule
+evidence, round-5 methodology).
+
+Why quota instead of taskset (the round-2..4 harness,
+tools/bench_scaling.py): `taskset -c 0-(N-1)` pins the job to N FIXED
+host CPUs, so whatever the oversubscribed host happens to be running on
+those particular cores is subtracted from the measurement — the r4
+replicates show 0.58-0.80 efficiency swings that track the embedded
+sha256 sweep, not the engine. A cgroup-v1 CFS quota
+(cpu.cfs_quota_us = N * cpu.cfs_period_us) caps the job's total
+CPU-time at exactly N cores *without* naming which cores: the kernel
+scheduler places our threads on whatever CPUs are idle each tick, so
+host noise on any fixed subset no longer lands entirely on us, while
+the ceiling still faithfully emulates an N-core executor (task slots,
+shuffle threads, GC and the parquet reader all share N cores' worth of
+time, as on a real N-core cluster node).
+
+Two further upgrades over the taskset harness:
+  * CPU accounting comes from the run's own cpuacct cgroup
+    (cpuacct.usage: total ns of every task that ever lived in the
+    group) — exact even for short-lived forked workers that a /proc
+    walk misses between samples.
+  * cpu.stat throttling counters (nr_throttled / throttled_time) are
+    recorded per rep: nonzero throttling PROVES the quota was binding,
+    i.e. the job really executed under an N-core ceiling rather than
+    coasting on an idle host.
+
+Replicate acceptance is gated on the embedded sha256 sweep: a rep pair
+is kept only if the 8-thread sweep measured immediately before it is
+within --quiet-frac of the session's best observed sweep, else the pair
+is retried (up to --max-attempts). This keeps "host got slow between
+the N and 4N runs" out of the efficiency ratio.
+
+Must run as root (writes /sys/fs/cgroup/{cpu,cpuacct}/<name>).
+
+Usage: python tools/bench_cgroup.py [--rows 960000] [--reps 3] [--n 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CG_CPU = "/sys/fs/cgroup/cpu"
+CG_ACCT = "/sys/fs/cgroup/cpuacct"
+PERIOD_US = 100_000
+
+
+def _write(path: str, val: str) -> None:
+    with open(path, "w") as f:
+        f.write(val)
+
+
+def _read(path: str) -> str:
+    with open(path) as f:
+        return f.read()
+
+
+class QuotaGroup:
+    """A cpu-quota + cpuacct cgroup pair sized to `ncpus` cores."""
+
+    def __init__(self, name: str, ncpus: int):
+        self.cpu_dir = os.path.join(CG_CPU, name)
+        self.acct_dir = os.path.join(CG_ACCT, name)
+        self.ncpus = ncpus
+        for d in (self.cpu_dir, self.acct_dir):
+            os.makedirs(d, exist_ok=True)
+        _write(os.path.join(self.cpu_dir, "cpu.cfs_period_us"),
+               str(PERIOD_US))
+        _write(os.path.join(self.cpu_dir, "cpu.cfs_quota_us"),
+               str(ncpus * PERIOD_US))
+
+    def enter_current_process(self) -> None:
+        """Move the CALLING process into the group (use via preexec_fn:
+        runs in the forked child before exec, so the whole JVM + pyspark
+        worker tree inherits membership)."""
+        pid = str(os.getpid())
+        _write(os.path.join(self.cpu_dir, "cgroup.procs"), pid)
+        _write(os.path.join(self.acct_dir, "cgroup.procs"), pid)
+
+    def usage_cpu_sec(self) -> float:
+        return int(_read(os.path.join(self.acct_dir, "cpuacct.usage"))) / 1e9
+
+    def reset_usage(self) -> None:
+        _write(os.path.join(self.acct_dir, "cpuacct.usage"), "0")
+
+    def throttle_stats(self) -> dict:
+        out = {}
+        for line in _read(os.path.join(self.cpu_dir, "cpu.stat")).split("\n"):
+            if line:
+                k, v = line.split()
+                out[k] = int(v)
+        return out
+
+    def destroy(self) -> None:
+        for d in (self.cpu_dir, self.acct_dir):
+            try:
+                os.rmdir(d)
+            except OSError:
+                pass
+
+
+def run_level(group: QuotaGroup, rows: int, job: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(group.ncpus))
+    cmd = [sys.executable, "bench.py", "--only", job,
+           "--image-rows", str(rows)]
+    group.reset_usage()
+    thr0 = group.throttle_stats()
+    out = subprocess.run(
+        cmd, cwd=REPO, env=env, capture_output=True, text=True,
+        timeout=5400, preexec_fn=group.enter_current_process,
+    )
+    cg_cpu = group.usage_cpu_sec()
+    thr1 = group.throttle_stats()
+    for line in reversed(out.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            try:
+                rep = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            # rep["cpu_sec_per_kimg"] is already cgroup-exact: bench.py
+            # detects its own cpuacct group (bench._own_cpuacct_usage_file)
+            # and samples the kernel counter around just the timed pass.
+            # Whole-subprocess-lifetime usage (startup + warmup + timed)
+            # is kept separately for context only.
+            rep["cgroup_cpu_sec_lifetime"] = round(cg_cpu, 2)
+            if "cpu_sec_per_kimg" not in rep:
+                raise RuntimeError(
+                    f"bench.py (quota={group.ncpus}) emitted no "
+                    f"cpu_sec_per_kimg: {rep}"
+                )
+            rep["nr_throttled"] = thr1["nr_throttled"] - thr0["nr_throttled"]
+            rep["throttled_sec"] = round(
+                (thr1["throttled_time"] - thr0["throttled_time"]) / 1e9, 1
+            )
+            return rep
+    raise RuntimeError(
+        f"bench.py (quota={group.ncpus} cores) produced no JSON line; "
+        f"stdout tail: {out.stdout[-500:]!r} stderr tail: {out.stderr[-500:]!r}"
+    )
+
+
+def host_cpu_sweep() -> dict[int, float]:
+    data = b"x" * (1 << 20)
+
+    def work(n: int) -> None:
+        for _ in range(n):
+            hashlib.sha256(data).digest()
+
+    out = {}
+    for threads in (1, 8, 32):
+        per = max(1, 256 // threads)
+        t0 = time.time()
+        with ThreadPoolExecutor(threads) as ex:
+            list(ex.map(work, [per] * threads))
+        out[threads] = round(per * threads / (time.time() - t0), 1)  # MB/s
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=960_000)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--n", type=int, default=2, help="small size N (large 4N)")
+    ap.add_argument("--job", default="image_pipeline")
+    ap.add_argument(
+        "--quiet-frac", type=float, default=0.85,
+        help="accept a rep pair only if the pre-pair 8-thread sha256 "
+        "sweep is >= quiet_frac * best sweep seen this session",
+    )
+    ap.add_argument("--max-attempts", type=int, default=8)
+    ap.add_argument(
+        "--out", default=os.path.join(REPO, "BENCH", "scaling_cgroup.json")
+    )
+    args = ap.parse_args()
+    small, large = args.n, 4 * args.n
+
+    g_small = QuotaGroup(f"sgraft_n{small}", small)
+    g_large = QuotaGroup(f"sgraft_n{large}", large)
+    try:
+        sweeps: list[dict] = [host_cpu_sweep()]
+        best8 = sweeps[0][8]
+        # corpus build + page-cache warm, untimed, unquota'd
+        subprocess.run(
+            [sys.executable, "bench.py", "--only", args.job,
+             "--image-rows", str(args.rows)],
+            cwd=REPO, env=dict(os.environ, SPARK_GRAFT_CPUS="32"),
+            capture_output=True, timeout=5400,
+        )
+        runs: dict[int, list[dict]] = {small: [], large: []}
+        attempts = 0
+        rejected = 0
+        while len(runs[small]) < args.reps and attempts < args.max_attempts:
+            attempts += 1
+            sw = host_cpu_sweep()
+            sweeps.append(sw)
+            best8 = max(best8, sw[8])
+            if sw[8] < args.quiet_frac * best8:
+                rejected += 1
+                print(json.dumps({"rejected_noisy_window": sw}), flush=True)
+                time.sleep(30)
+                continue
+            # interleave N,4N within the accepted quiet window
+            runs[small].append(run_level(g_small, args.rows, args.job))
+            runs[large].append(run_level(g_large, args.rows, args.job))
+            print(json.dumps({
+                "rep": len(runs[small]),
+                f"wall_N={small}": runs[small][-1]["value"],
+                f"wall_4N={large}": runs[large][-1]["value"],
+                "sweep8_mbps": sw[8],
+            }), flush=True)
+        sweeps.append(host_cpu_sweep())
+
+        def med(level: int, key: str) -> float:
+            return statistics.median(r[key] for r in runs[level])
+
+        wall_s, wall_l = med(small, "value"), med(large, "value")
+        cpu_s = med(small, "cpu_sec_per_kimg")
+        cpu_l = med(large, "cpu_sec_per_kimg")
+        result = {
+            "job": args.job,
+            "rows": args.rows,
+            "methodology": "cgroup-v1 CFS quota (cpu.cfs_quota_us = "
+            "N*period, unpinned cpuset) + cpuacct whole-tree accounting "
+            "+ sha256 quiet-window gate; see module docstring",
+            "quota_cpus": {"N": small, "4N": large},
+            "wall_sec_median": {f"N={small}": wall_s, f"4N={large}": wall_l},
+            "images_per_sec_median": {
+                f"N={small}": round(args.rows / wall_s, 1),
+                f"4N={large}": round(args.rows / wall_l, 1),
+            },
+            "cpu_sec_per_kimg_median": {
+                f"N={small}": cpu_s, f"4N={large}": cpu_l,
+            },
+            "scaling_efficiency_wall": round(wall_s / wall_l / 4.0, 3),
+            "scaling_efficiency_cpu": round(cpu_s / cpu_l, 3),
+            "rejected_noisy_windows": rejected,
+            "host_sha256_mbps_by_threads": {
+                "first": sweeps[0], "last": sweeps[-1],
+                "per_attempt_8thread": [s[8] for s in sweeps],
+            },
+            "runs": {str(k): v for k, v in runs.items()},
+        }
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=2)
+        print(json.dumps({k: v for k, v in result.items() if k != "runs"}))
+    finally:
+        g_small.destroy()
+        g_large.destroy()
+
+
+if __name__ == "__main__":
+    main()
