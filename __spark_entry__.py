@@ -1125,13 +1125,27 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal-exact per-pair sum, and the (rounded score, id) ranking.
     The planted mutated neighbors rank at the top — retrieval is the
     review tier between decontamination flags and deletion."""
-    from dedup_spark.fixtures.materialize import fixture_zipf_docs_parquet
+    from dedup_spark.fixtures.materialize import (
+        ZIPF_PARAMS,
+        fixture_zipf_docs_parquet,
+    )
     from dedup_spark.operators.retrieval import bm25_topk
 
-    docs = spark.read.parquet(fixture_zipf_docs_parquet())
-    return bm25_topk(
-        docs, docs.filter(F.col("doc_id") % 100 == 18), k=TOPK
+    # scaling-study hook (tools/bench_sf1.py): SPARK_GRAFT_ZIPF_DOCS
+    # scales the CORPUS while the query set stays the pinned 20 (drawn
+    # from the first 2000 doc_ids) — so the study measures per-query
+    # cost vs corpus size, not query-count growth. Unset (the driver's
+    # correctness runs), both filters are no-ops vs the pinned config.
+    n_override = int(os.environ.get("SPARK_GRAFT_ZIPF_DOCS", "0"))
+    params = (
+        dict(ZIPF_PARAMS, n_docs=n_override) if n_override else None
     )
+    docs = spark.read.parquet(fixture_zipf_docs_parquet(params))
+    queries = docs.filter(
+        (F.col("doc_id") % 100 == 18)
+        & (F.col("doc_id") < ZIPF_PARAMS["n_docs"])
+    )
+    return bm25_topk(docs, queries, k=TOPK)
 
 
 def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
