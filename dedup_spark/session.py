@@ -63,6 +63,16 @@ def get_spark(
         .config("spark.locality.wait", "0s")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # Hook for the scaling harness (tools/bench_cgroup.py): under a
+        # CFS cpu quota the JVM still sizes GC/JIT thread pools to the
+        # HOST's cpu count (32), so GC threads thrash the quota
+        # (GCLocker retry storms -> spurious heap OOM). The harness
+        # passes -XX:ActiveProcessorCount=<quota cores>, which is also
+        # the faithful emulation of a real N-core executor JVM.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_DRIVER_JAVA_OPTS", ""),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

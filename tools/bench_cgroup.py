@@ -109,7 +109,19 @@ class QuotaGroup:
 
 
 def run_level(group: QuotaGroup, rows: int, job: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(group.ncpus))
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(group.ncpus),
+        # 960k-row corpora need >16g heap (round-2 finding); GC threads
+        # must be sized to the QUOTA, not the 32-cpu host, or GCLocker
+        # retry storms under throttling manifest as spurious heap OOM
+        # (observed at quota=8: "Retried waiting for GCLocker too
+        # often" then OutOfMemoryError on a heap that fits easily)
+        SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "24g"),
+        SPARK_DRIVER_JAVA_OPTS=(
+            f"-XX:ActiveProcessorCount={group.ncpus}"
+        ),
+    )
     cmd = [sys.executable, "bench.py", "--only", job,
            "--image-rows", str(rows)]
     group.reset_usage()
