@@ -803,6 +803,8 @@ CDC_DIV = 64  # CDC boundary divisor — expected chunk length in bytes
 # (2-byte window value % 64 == 0; see operators/cdc.py for why the
 # window is 2 bytes here and what production would use)
 
+SA_WINDOW = 16  # suffix-array dup-span threshold (words; power of two
+#   so prefix doubling's final gap lands exactly on it)
 SPAN_K = 13  # ExactSubstr span-excision gram width (Lee et al. 2022
 # use 50 BPE tokens; 13 words is the same order of magnitude and
 # matches the decontamination gram so the two tiers share machinery)
@@ -841,6 +843,24 @@ def q_exact_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dedup_spark.operators.spandedup import duplicated_span_excision
 
     return duplicated_span_excision(_docs(spark, sf_dir), k=SPAN_K)
+
+
+def q_suffix_array_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span report via a TRUE distributed suffix array
+    (operators/suffixarray.py — prefix doubling as log2(L) Spark
+    sorts, Manber–Myers ranks; the literal 'suffix-array substring'
+    tier the north rule names, vs spandedup's gram formulation):
+    per doc, how many of its 16-word windows occur >= 2 times in the
+    corpus (and with >= 2 distinct docs). Nothing materializes a
+    16-word string — each doubling round shuffles fixed-width
+    (pos, rank, rank2) longs, which is why this formulation survives
+    thousand-word span thresholds where gram strings explode. The
+    oracle recomputes the same stats the direct way (16-word gram
+    strings + two aggregations) — algorithm-independent agreement is
+    the whole check."""
+    from dedup_spark.operators.suffixarray import repeated_window_stats
+
+    return repeated_window_stats(_docs(spark, sf_dir), window=SA_WINDOW)
 
 
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2639,9 +2659,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks (at most)
     # the FIRST 50 entries. Rounds 3+4 each snapshotted a different
     # 50-window; this round leads with the 10 queries that have never
-    # appeared in any driver CORRECTNESS artifact, then the 19 last
-    # driver-checked in round 3, then 21 round-4-covered entries to
-    # fill the window — so r4 + r5 artifacts jointly cover all 79.
+    # appeared in any driver CORRECTNESS artifact, then the round-5
+    # addition, then the 19 last driver-checked in round 3, then
+    # round-4-covered entries to fill the window — so r4 + r5
+    # artifacts jointly cover all 80 (flood_cc_clusters slides to
+    # position 51; it is green in CORRECTNESS_r04.json).
     return {
         # --- never driver-snapshotted (verdict r4 item 1) ---
         "rescale_dedup": q_rescale_dedup,
@@ -2654,6 +2676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": q_sequence_packing,
         "source_mixing": q_source_mixing,
         "training_mixture": q_training_mixture,
+        # --- new in round 5 (must sit inside the 50-window) ---
+        "suffix_array_spans": q_suffix_array_spans,
         # --- last driver-checked in round 3 ---
         "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
@@ -3724,6 +3748,42 @@ FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
         # docs), the per-doc coverage union, and the cleaned text
         # (string_agg over uncovered positions). Empty/short docs pass
         # through: n_covered 0, cleaned = normalized token stream.
+        # the direct gram-string formulation of what the Spark side
+        # derives from prefix-doubling suffix-array ranks — the two
+        # algorithms agreeing per doc is the gate
+        "suffix_array_spans": f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR trim(text) = ''
+              THEN CAST([] AS VARCHAR[]) ELSE {_TOKS} END AS arr
+  FROM documents
+),
+o AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(arr[i : i + {SA_WINDOW - 1}], ' ') AS gram
+  FROM t, UNNEST(range(1, len(arr) - {SA_WINDOW} + 2)) AS u(i)
+  WHERE len(arr) >= {SA_WINDOW}
+),
+g AS (
+  SELECT gram, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+  FROM o GROUP BY gram
+),
+per AS (
+  SELECT o.doc_id,
+         count(*) AS n_windows,
+         sum(CASE WHEN g.n_occ >= 2 THEN 1 ELSE 0 END) AS n_dup,
+         sum(CASE WHEN g.n_docs >= 2 THEN 1 ELSE 0 END) AS n_cross
+  FROM o JOIN g USING (gram) GROUP BY o.doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(per.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup_windows,
+       CAST(coalesce(per.n_cross, 0) AS BIGINT) AS n_cross_doc_windows,
+       round(CASE WHEN coalesce(per.n_windows, 0) = 0 THEN 0.0
+                  ELSE per.n_dup * 1.0 / per.n_windows END,
+             6) AS dup_window_fraction
+FROM t LEFT JOIN per ON per.doc_id = t.doc_id
+""",
         "exact_span_dedup": f"""
 WITH t AS (
   SELECT doc_id,
