@@ -84,6 +84,12 @@ HEADLINE = [
     "jpeg_quality_estimate",
     "bm25_topk",  # runs on the pinned Zipf fixture at the production
     # df prune (sf-independent, like the image-fixture queries)
+    # round-5 tier: true suffix-array dup spans. Wall at sf0.1 is
+    # dominated by the log2(L)=4 doubling-round barriers (fixed job
+    # overhead at this scale, ~20 s), NOT data volume — the rounds
+    # shuffle constant-width longs, which is the whole point at large
+    # L / large corpora.
+    "suffix_array_spans",
 ]
 
 
@@ -241,6 +247,37 @@ def run_multimodal_pipeline(spark, path: str):
     return dedup_pipeline(df)
 
 
+def run_exact_pipeline(spark, path: str):
+    """Like-for-like cell vs the reference's own benchmark: exact-only
+    byte dedup + the report aggregate — the EXACT work the reference's
+    28,224 files/s peak measures (scan → size/hash cascade → duplicate
+    groups → stats; reference src/scanner.rs + grouping.rs + output.rs)
+    — with our production stage-1 (metadata keys, fused full hash)."""
+    from dedup_spark.operators.exact import (
+        duplicate_stats, exact_duplicate_clusters,
+    )
+
+    df = spark.read.parquet(path)
+    return duplicate_stats(exact_duplicate_clusters(df))
+
+
+def run_exact_pipeline_3pass(spark, path: str):
+    """Reference-FAITHFUL exact-only cell: length-only stage-1 key
+    (no metadata pruning — the reference groups on file size alone)
+    and the observable 3-pass shape (size → 8 KiB prefix hash → full
+    hash), then the report aggregate. The most conservative
+    apples-to-apples comparison against the reference's exact-only
+    throughput matrix (reference benchmark/runner.py)."""
+    from dedup_spark.operators.exact import (
+        duplicate_stats, exact_duplicate_clusters,
+    )
+
+    df = spark.read.parquet(path)
+    return duplicate_stats(exact_duplicate_clusters(
+        df, extra_keys=(), fuse_full_hash=False,
+    ))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default=None)
@@ -260,7 +297,10 @@ def main() -> None:
         names = args.only.split(",")
 
     qs = entrymod.queries()
-    _needs_corpus = {"image_pipeline", "multimodal_pipeline"}
+    _needs_corpus = {
+        "image_pipeline", "multimodal_pipeline",
+        "exact_pipeline", "exact_pipeline_3pass",
+    }
     img_path = (
         image_corpus_path(spark, n_images)
         if _needs_corpus & set(names)
@@ -272,6 +312,10 @@ def main() -> None:
             return run_image_pipeline(spark, img_path)
         if name == "multimodal_pipeline":
             return run_multimodal_pipeline(spark, img_path)
+        if name == "exact_pipeline":
+            return run_exact_pipeline(spark, img_path)
+        if name == "exact_pipeline_3pass":
+            return run_exact_pipeline_3pass(spark, img_path)
         return qs[name](spark, SF_DIR)
 
     # warmup pass (JIT/code-cache/page-cache), then a timed pass —
@@ -301,7 +345,10 @@ def main() -> None:
     # per-image rate metrics for whichever image-corpus job ran (the
     # scaling harness medians these; image_pipeline wins when both ran)
     rate_q = next(
-        (q for q in ("image_pipeline", "multimodal_pipeline") if q in times),
+        (q for q in (
+            "image_pipeline", "multimodal_pipeline",
+            "exact_pipeline", "exact_pipeline_3pass",
+        ) if q in times),
         None,
     )
     if rate_q and times[rate_q]:
