@@ -2093,8 +2093,9 @@ def q_jpeg_roundtrip_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_crossformat_pixel_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pixel-content dedup across container formats — the case byte
     dedup can't see: every fixture image is re-encoded under ppm, png,
-    lossless webp, and baseline jpeg (all real codecs — webp is the
-    round-5 from-scratch VP8L implementation), then clustered by
+    lossless webp, tiff-lzw, and baseline jpeg (all real codecs — webp
+    is the round-5 from-scratch VP8L implementation, tiff the round-5
+    from-scratch LZW+predictor one), then clustered by
     sha256(decoded pixels). Lossless variants of byte-identical
     originals collapse into ONE cluster regardless of format; the
     deterministic lossy tier forms its own pixel-exact cluster per
@@ -3052,7 +3053,8 @@ WITH v AS (
   SELECT image_id || '#' || s AS vid,
          CASE WHEN s = 'jpeg' THEN 'J' ELSE 'L' END AS tier,
          bytes
-  FROM {fixture}, (VALUES ('ppm'), ('png'), ('jpeg'), ('webp')) t(s)
+  FROM {fixture},
+       (VALUES ('ppm'), ('png'), ('jpeg'), ('webp'), ('tiff')) t(s)
 )
 SELECT vid AS image_id, TRUE AS ok,
        min(vid) OVER (PARTITION BY tier, bytes) AS cluster_id

@@ -3,12 +3,14 @@
 Images, audio, and video are opaque `binary` columns with typed metadata
 (w, h, fmt). All pixel work happens in Arrow-batched pandas UDFs via
 mapInPandas — the Spark-side plumbing (schema, batch shape, partition
-sizing) is real and tested. FOUR formats decode for real with zero
+sizing) is real and tested. FIVE formats decode for real with zero
 imaging libs: PPM (pure numpy), PNG (stdlib zlib + numpy unfilter,
 multimodal/png.py — 8-bit grey/RGB/RGBA, all five filters), baseline
-JPEG (multimodal/jpeg.py — numpy DCT + hand-rolled Huffman), and
-lossless WebP (multimodal/webp.py — from-scratch VP8L prefix-code /
-LZ77 / color-cache bitstream, documented subset). Remaining
+JPEG (multimodal/jpeg.py — numpy DCT + hand-rolled Huffman), lossless
+WebP (multimodal/webp.py — from-scratch VP8L prefix-code / LZ77 /
+color-cache bitstream, documented subset), and TIFF
+(multimodal/tiff.py — general IFD walk both endians, from-scratch LZW
+with the early-change width schedule, horizontal predictor). Remaining
 codec-heavy decodes (lossy webp/video) sit behind a PIL import-try
 since those libs are not in this container.
 
@@ -62,6 +64,10 @@ def _decode_any(data: bytes, fmt: str) -> np.ndarray | None:
             from dedup_spark.multimodal.webp import decode_webp_lossless
 
             return decode_webp_lossless(bytes(data))
+        if fmt in ("tiff", "tif"):
+            from dedup_spark.multimodal.tiff import decode_tiff
+
+            return decode_tiff(bytes(data))
         if _HAS_PIL:
             import io
 
@@ -299,20 +305,22 @@ def lossy_roundtrip_fidelity(
 
 def reencode_variants(
     df: DataFrame,
-    formats: tuple = ("ppm", "png", "jpeg", "webp"),
+    formats: tuple = ("ppm", "png", "jpeg", "webp", "tiff"),
     id_col: str = "image_id",
     bytes_col: str = "bytes",
     fmt_col: str = "fmt",
 ) -> DataFrame:
     """Deterministically re-encode every decodable payload in each of
-    ``formats`` (real codecs: PPM, PNG, baseline JPEG, lossless WebP) —
-    one output row per (image, format) with id `<image_id>#<format>`.
+    ``formats`` (real codecs: PPM, PNG, baseline JPEG, lossless WebP,
+    TIFF-LZW) — one output row per (image, format) with id
+    `<image_id>#<format>`.
     This synthesizes the classic ingest situation pixel-level dedup
     exists for: the same image arriving re-encoded under different
     container formats, where byte-level dedup sees nothing."""
     from dedup_spark.fixtures.images import encode_ppm
     from dedup_spark.multimodal.jpeg import encode_jpeg
     from dedup_spark.multimodal.png import encode_png
+    from dedup_spark.multimodal.tiff import encode_tiff
     from dedup_spark.multimodal.webp import encode_webp_lossless
 
     enc = {
@@ -320,6 +328,7 @@ def reencode_variants(
         "png": encode_png,
         "jpeg": encode_jpeg,
         "webp": encode_webp_lossless,
+        "tiff": encode_tiff,
     }
 
     def _re(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
