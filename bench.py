@@ -90,6 +90,9 @@ HEADLINE = [
     # shuffle constant-width longs, which is the whole point at large
     # L / large corpora.
     "suffix_array_spans",
+    # round-5: Bloom cross-snapshot gram filter (bit_or bitmap +
+    # broadcast word probe, pure JVM)
+    "bloom_gram_dedup",
 ]
 
 
