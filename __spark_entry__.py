@@ -885,6 +885,36 @@ def q_bloom_gram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unicode_nfc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-normalization dedup (functions/unicode.py — UAX #15 NFC
+    canonicalization before hashing, the standard first step of a text
+    pipeline): 'café' precomposed (U+00E9) and decomposed (e+U+0301)
+    are byte-different strings every hash tier treats as distinct
+    docs. The corpus is ASCII, so each doc deterministically spawns
+    BOTH forms (suffix ' caf\\u00e9' vs ' cafe\\u0301', variant ids
+    2*doc_id / 2*doc_id+1); NFC clustering must collapse each pair
+    while never crossing docs. Cross-validation is real: the engine
+    normalizes via stdlib unicodedata (Arrow-vectorized pandas_udf —
+    Spark has no built-in normalizer), the oracle via DuckDB's
+    ICU-backed nfc_normalize — two independent UAX #15
+    implementations must agree on every cluster and every `changed`
+    flag. Scale shape: one Arrow projection, groupBy on md5(nfc)
+    (32-char key, never text, in the exchange), join back."""
+    from dedup_spark.functions.unicode import nfc_clusters
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    variants = docs.select(
+        (F.col("doc_id") * 2).alias("variant_id"),
+        F.concat(F.col("text"), F.lit(" caf\u00e9")).alias("text"),
+    ).unionAll(
+        docs.select(
+            (F.col("doc_id") * 2 + 1).alias("variant_id"),
+            F.concat(F.col("text"), F.lit(" cafe\u0301")).alias("text"),
+        )
+    )
+    return nfc_clusters(variants, id_col="variant_id", text_col="text")
+
+
 def q_exact_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-span excision (operators/spandedup.py — the
     Lee et al. 2022 ExactSubstr corpus-cleaning stage, word-13-gram
@@ -2719,12 +2749,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the FIRST 50 entries. Rounds 3+4 each snapshotted a different
     # 50-window; this round leads with the 10 queries that have never
     # appeared in any driver CORRECTNESS artifact, then the round-5
-    # additions (suffix_array_spans, bloom_gram_dedup — positions
-    # 11-12), then the 19 last driver-checked in round 3, then
-    # round-4-covered entries to fill the window — so r4 + r5
-    # artifacts jointly cover all 81 (flood_cc_clusters and
-    # quality_dedup_keep slide past 50; both are green in
-    # CORRECTNESS_r04.json).
+    # additions (suffix_array_spans, bloom_gram_dedup,
+    # unicode_nfc_dedup — positions 11-13), then the 19 last
+    # driver-checked in round 3, then round-4-covered entries to fill
+    # the window — so r4 + r5 artifacts jointly cover all 82
+    # (cluster_safe_split, quality_dedup_keep and flood_cc_clusters
+    # slide past 50; all three are green in CORRECTNESS_r04.json —
+    # the invariant is checked mechanically each round:
+    # every name outside this round's window has a green row in the
+    # r4 or r3 driver artifact).
     return {
         # --- never driver-snapshotted (verdict r4 item 1) ---
         "rescale_dedup": q_rescale_dedup,
@@ -2740,6 +2773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 5 (must sit inside the 50-window) ---
         "suffix_array_spans": q_suffix_array_spans,
         "bloom_gram_dedup": q_bloom_gram_dedup,
+        "unicode_nfc_dedup": q_unicode_nfc_dedup,
         # --- last driver-checked in round 3 ---
         "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
@@ -3839,6 +3873,23 @@ FROM pr
 JOIN hits h ON h.gram = pr.gram
 LEFT JOIN ref ON ref.gram = pr.gram
 GROUP BY pr.doc_id
+""",
+        # NFC dedup: DuckDB's ICU-backed nfc_normalize is an
+        # INDEPENDENT UAX #15 implementation vs the engine's stdlib
+        # unicodedata — clusters and changed flags must agree anyway
+        "unicode_nfc_dedup": """
+WITH v AS (
+  SELECT doc_id * 2 AS variant_id, text || ' caf' || chr(233) AS text
+  FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id * 2 + 1, text || ' cafe' || chr(769)
+  FROM documents WHERE text IS NOT NULL
+),
+n AS (SELECT variant_id, text, nfc_normalize(text) AS nfc FROM v)
+SELECT variant_id,
+       min(variant_id) OVER (PARTITION BY nfc) AS cluster_id,
+       nfc <> text AS changed
+FROM n
 """,
         "decontaminate": f"""
 WITH t AS (

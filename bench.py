@@ -93,6 +93,9 @@ HEADLINE = [
     # round-5: Bloom cross-snapshot gram filter (bit_or bitmap +
     # broadcast word probe, pure JVM)
     "bloom_gram_dedup",
+    # round-5: NFC canonicalization dedup (Arrow pandas_udf — Spark
+    # has no built-in normalizer)
+    "unicode_nfc_dedup",
 ]
 
 
