@@ -69,6 +69,15 @@ TEXT_QUERIES = [
     "model_quality_filter",
     "decontaminate",
     "exact_span_dedup",
+    # round-5 tiers (documents-table): true suffix array (constant
+    # doubling-round count, constant-width shuffles — the wall is
+    # barrier-dominated at sf0.1 so the sf1 ratio is the real signal),
+    # Bloom gram filter (build+probe cost is gram-linear; the 2^17-bit
+    # filter saturates at 10x grams, which changes FP rate, not cost),
+    # NFC canonicalization (Arrow UDF projection + md5 groupBy)
+    "suffix_array_spans",
+    "bloom_gram_dedup",
+    "unicode_nfc_dedup",
 ]
 
 # round-5 additions (VERDICT r4 item 4): the round-4 query classes that
