@@ -1245,6 +1245,64 @@ def q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("cluster_size").cast("long"), "n_clusters")
 
 
+SKEW_TOPK = 10  # key-skew profile depth
+
+
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew profiler — the diagnostic that SIZES the engine's skew
+    machinery (salting fan-out, star-guard caps, AQE skew thresholds):
+    for each shuffle-key space the text tier actually groups on
+    (tokens, word-3-grams, the source column), report the top-10
+    heaviest keys with their global share. Shape: explode → ONE
+    map-side-combinable count per (space, key) → row_number over the
+    AGGREGATED key set partitioned by space, filtered to rank <= 10 —
+    which Spark 4 executes as WindowGroupLimit (per-partition partial
+    top-k BEFORE the shuffle, plan-audited), so the full vocabulary is
+    never globally sorted; totals are 3 broadcast scalars. The oracle
+    recomputes the counts, the deterministic (count desc, key asc)
+    ranking, and the 6-dp share."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).filter(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(2)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+    )
+    keyed = (
+        docs.select(F.lit("token").alias("space"), F.explode(toks).alias("key"))
+        .unionAll(
+            docs.filter(F.size(toks) >= 3).select(
+                F.lit("gram3").alias("space"), F.explode(grams).alias("key")
+            )
+        )
+        .unionAll(
+            docs.select(F.lit("source").alias("space"), F.col("source").alias("key"))
+        )
+    )
+    counts = keyed.groupBy("space", "key").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).localCheckpoint(eager=False)
+    totals = counts.groupBy("space").agg(F.sum("cnt").alias("_total"))
+    w = Window.partitionBy("space").orderBy(
+        F.col("cnt").desc(), F.col("key").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SKEW_TOPK)
+        .join(F.broadcast(totals), on="space")
+        .select(
+            "space",
+            F.col("rank").cast("long").alias("rank"),
+            "key",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(F.col("cnt") / F.col("_total"), 6).alias("share"),
+        )
+    )
+
+
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram of events.value per event type (width_bucket
     over the GLOBAL min/max, 16 buckets + the upper-edge overflow
@@ -2904,13 +2962,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50-window; this round leads with the 10 queries that have never
     # appeared in any driver CORRECTNESS artifact, then the round-5
     # additions (suffix_array_spans, bloom_gram_dedup,
-    # unicode_nfc_dedup, incremental_bloom_dedup — positions 11-14),
-    # then the 19 last
+    # unicode_nfc_dedup, incremental_bloom_dedup, key_skew_profile —
+    # positions 11-15), then the 19 last
     # driver-checked in round 3, then round-4-covered entries to fill
-    # the window — so r4 + r5 artifacts jointly cover all 83
-    # (cc_clusters, cluster_safe_split, quality_dedup_keep and
-    # flood_cc_clusters slide past 50; all four are green in
-    # CORRECTNESS_r04.json —
+    # the window — so r4 + r5 artifacts jointly cover all 84
+    # (containment_pairs, cc_clusters, cluster_safe_split,
+    # quality_dedup_keep and flood_cc_clusters slide past 50; all
+    # five are green in CORRECTNESS_r04.json —
     # the invariant is checked mechanically each round:
     # every name outside this round's window has a green row in the
     # r4 or r3 driver artifact).
@@ -2931,6 +2989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_gram_dedup": q_bloom_gram_dedup,
         "unicode_nfc_dedup": q_unicode_nfc_dedup,
         "incremental_bloom_dedup": q_incremental_bloom_dedup,
+        "key_skew_profile": q_key_skew_profile,
         # --- last driver-checked in round 3 ---
         "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
@@ -3991,6 +4050,36 @@ FROM v LEFT JOIN cl ON v.vec_id = cl.vec_id
         "incremental_bloom_dedup": _BLOOM_ORACLE_SQL.format(
             toks=_TOKS, n=BLOOM_N, nm1=BLOOM_N - 1, m=BLOOM_M, k=BLOOM_K
         ),
+        # key-skew profile: recompute the per-space counts, the
+        # deterministic (count desc, key asc) ranking, and the 6-dp
+        # global share
+        "key_skew_profile": f"""
+WITH d AS (
+  SELECT {_TOKS} AS arr, source FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+),
+k AS (
+  SELECT 'token' AS space, u.t AS key FROM d, UNNEST(arr) AS u(t)
+  UNION ALL
+  SELECT 'gram3', array_to_string(arr[i : i + 2], ' ')
+  FROM d, UNNEST(range(1, len(arr) - 3 + 2)) AS u(i)
+  WHERE len(arr) >= 3
+  UNION ALL
+  SELECT 'source', source FROM d
+),
+c AS (SELECT space, key, CAST(count(*) AS BIGINT) AS cnt FROM k GROUP BY 1, 2),
+t AS (SELECT space, sum(cnt) AS total FROM c GROUP BY 1),
+r AS (
+  SELECT space, key, cnt,
+         row_number() OVER (PARTITION BY space ORDER BY cnt DESC, key ASC)
+           AS rank
+  FROM c
+)
+SELECT r.space, CAST(r.rank AS BIGINT) AS rank, r.key, r.cnt,
+       round(r.cnt * 1.0 / t.total, 6) AS share
+FROM r JOIN t USING (space)
+WHERE r.rank <= {SKEW_TOPK}
+""",
         # NFC dedup: DuckDB's ICU-backed nfc_normalize is an
         # INDEPENDENT UAX #15 implementation vs the engine's stdlib
         # unicodedata — clusters and changed flags must agree anyway

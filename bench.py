@@ -96,6 +96,9 @@ HEADLINE = [
     # round-5: NFC canonicalization dedup (Arrow pandas_udf — Spark
     # has no built-in normalizer)
     "unicode_nfc_dedup",
+    # round-5: key-skew profiler (combinable counts + WindowGroupLimit
+    # top-k, broadcast totals)
+    "key_skew_profile",
 ]
 
 
