@@ -1303,6 +1303,25 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LINE_W = 6  # tokens per synthesized "line" for the line-dedup tier
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global line-level exact dedup (C4 / RefinedWeb / Dolma's exact
+    line dedup): a line occurring anywhere else in the corpus survives
+    only at its first (doc_id, line_no) carrier — the boilerplate
+    killer whole-document dedup cannot express. One explode, ONE
+    combinable min(struct) per distinct md5(line) (text pruned from
+    the aggregate exchange), one hash-keyed join back, per-doc
+    collect_list reassembly bounded by doc length. The oracle
+    recomputes the chunking, the row_number-over-(doc_id, line_no)
+    first-carrier rule, and the md5 of the reassembled kept text —
+    exact reconstruction is gated, not just counts."""
+    from dedup_spark.operators.linededup import line_dedup_report
+
+    return line_dedup_report(_docs(spark, sf_dir), width=LINE_W)
+
+
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram of events.value per event type (width_bucket
     over the GLOBAL min/max, 16 buckets + the upper-edge overflow
@@ -2962,8 +2981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50-window; this round leads with the 10 queries that have never
     # appeared in any driver CORRECTNESS artifact, then the round-5
     # additions (suffix_array_spans, bloom_gram_dedup,
-    # unicode_nfc_dedup, incremental_bloom_dedup, key_skew_profile —
-    # positions 11-15), then the 19 last
+    # unicode_nfc_dedup, incremental_bloom_dedup, key_skew_profile,
+    # line_dedup — positions 11-16), then the 19 last
     # driver-checked in round 3, then round-4-covered entries to fill
     # the window — so r4 + r5 artifacts jointly cover all 84
     # (containment_pairs, cc_clusters, cluster_safe_split,
@@ -2990,6 +3009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_nfc_dedup": q_unicode_nfc_dedup,
         "incremental_bloom_dedup": q_incremental_bloom_dedup,
         "key_skew_profile": q_key_skew_profile,
+        "line_dedup": q_line_dedup,
         # --- last driver-checked in round 3 ---
         "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
@@ -4079,6 +4099,37 @@ SELECT r.space, CAST(r.rank AS BIGINT) AS rank, r.key, r.cnt,
        round(r.cnt * 1.0 / t.total, 6) AS share
 FROM r JOIN t USING (space)
 WHERE r.rank <= {SKEW_TOPK}
+""",
+        # line dedup: recompute the fixed-width chunking, the
+        # row_number-over-(doc_id, line_no) first-carrier rule, and
+        # the md5 of the reassembled kept text
+        "line_dedup": f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS arr FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+),
+l AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS line_no,
+         array_to_string(arr[(i*{LINE_W}+1):(i*{LINE_W}+{LINE_W})], ' ')
+           AS line
+  FROM t, UNNEST(range(0, CAST(ceil(len(arr) / {LINE_W}.0) AS BIGINT)))
+         AS u(i)
+),
+r AS (
+  SELECT *, row_number()
+           OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+  FROM l
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+       round(count(*) FILTER (WHERE rn = 1) * 1.0 / count(*), 6)
+         AS kept_ratio,
+       CASE WHEN count(*) FILTER (WHERE rn = 1) > 0
+            THEN md5(string_agg(line, ' ' ORDER BY line_no)
+                       FILTER (WHERE rn = 1))
+            END AS kept_text_md5
+FROM r GROUP BY doc_id
 """,
         # NFC dedup: DuckDB's ICU-backed nfc_normalize is an
         # INDEPENDENT UAX #15 implementation vs the engine's stdlib

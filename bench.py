@@ -99,6 +99,9 @@ HEADLINE = [
     # round-5: key-skew profiler (combinable counts + WindowGroupLimit
     # top-k, broadcast totals)
     "key_skew_profile",
+    # round-5: global first-carrier line dedup (md5-keyed carrier agg,
+    # one text shuffle, per-doc reassembly)
+    "line_dedup",
 ]
 
 
