@@ -1322,6 +1322,22 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup_report(_docs(spark, sf_dir), width=LINE_W)
 
 
+def q_edit1_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-radius record linkage: every unordered pair of distinct
+    customer names at Levenshtein distance 1, found by FastSS
+    deletion-neighborhood blocking (length+1 keys per record, one
+    explode + one self-equi-join — LINEAR candidate generation where
+    naive entity resolution is an O(n^2) cross join) and verified with
+    the real JVM Levenshtein. The oracle is a genuine cross-algorithm
+    gate: DuckDB brute-forces the quadratic Levenshtein join and the
+    two algorithms must emit the identical pair set (19,500 pairs at
+    sf0.01 — non-vacuous)."""
+    from dedup_spark.operators.editdist import edit1_pairs
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return edit1_pairs(cust, col="c_name")
+
+
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram of events.value per event type (width_bucket
     over the GLOBAL min/max, 16 buckets + the upper-edge overflow
@@ -2982,7 +2998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # appeared in any driver CORRECTNESS artifact, then the round-5
     # additions (suffix_array_spans, bloom_gram_dedup,
     # unicode_nfc_dedup, incremental_bloom_dedup, key_skew_profile,
-    # line_dedup — positions 11-16), then the 19 last
+    # line_dedup, edit1_name_pairs — positions 11-17), then the 19 last
     # driver-checked in round 3, then round-4-covered entries to fill
     # the window — so r4 + r5 artifacts jointly cover all 84
     # (containment_pairs, cc_clusters, cluster_safe_split,
@@ -3010,6 +3026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_bloom_dedup": q_incremental_bloom_dedup,
         "key_skew_profile": q_key_skew_profile,
         "line_dedup": q_line_dedup,
+        "edit1_name_pairs": q_edit1_name_pairs,
         # --- last driver-checked in round 3 ---
         "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
@@ -4130,6 +4147,16 @@ SELECT doc_id,
                        FILTER (WHERE rn = 1))
             END AS kept_text_md5
 FROM r GROUP BY doc_id
+""",
+        # edit-distance-1 pairs: the BRUTE-FORCE quadratic Levenshtein
+        # join — a different algorithm than the engine's deletion-
+        # neighborhood blocking; identical pair sets are the gate
+        "edit1_name_pairs": """
+SELECT a.c_name AS name_a, b.c_name AS name_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a JOIN customer b
+  ON a.c_name < b.c_name
+WHERE levenshtein(a.c_name, b.c_name) <= 1
 """,
         # NFC dedup: DuckDB's ICU-backed nfc_normalize is an
         # INDEPENDENT UAX #15 implementation vs the engine's stdlib

@@ -102,6 +102,9 @@ HEADLINE = [
     # round-5: global first-carrier line dedup (md5-keyed carrier agg,
     # one text shuffle, per-doc reassembly)
     "line_dedup",
+    # round-5: FastSS deletion-neighborhood edit-distance-1 pairs
+    # (linear blocking keys + JVM levenshtein verify, never O(n^2))
+    "edit1_name_pairs",
 ]
 
 

@@ -61,6 +61,10 @@ CHECKS = {
     # rank-filtered windows must run as WindowGroupLimit (per-partition
     # partial top-k BEFORE the shuffle), not a full per-partition sort
     "window_group_limit": lambda p: "WindowGroupLimit" in p,
+    # blocked pair-mining must plan as an equi-join on the blocking
+    # key, never a cartesian with the verifier in the condition
+    "no_cartesian": lambda p: "CartesianProduct" not in p
+    and "BroadcastNestedLoopJoin" not in p,
     # line-dedup carrier aggregate: the line TEXT must be pruned from
     # the aggregate exchange (only md5 + the two carrier longs travel)
     "line_text_pruned_from_exchange": lambda p: not _attr_in_exchange(
@@ -584,6 +588,14 @@ def main() -> None:
         "no python, no Expand)",
         e.queries()["line_dedup"](spark, sf),
         ["wholestage_codegen", "no_python_udf", "no_expand"],
+        out,
+    )
+
+    audit(
+        "edit1_name_pairs (deletion-neighborhood blocking — linear "
+        "candidate keys, no cross join, JVM levenshtein verify)",
+        e.queries()["edit1_name_pairs"](spark, sf),
+        ["wholestage_codegen", "no_python_udf", "no_cartesian"],
         out,
     )
 
