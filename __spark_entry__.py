@@ -1338,6 +1338,25 @@ def q_edit1_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit1_pairs(cust, col="c_name")
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style model-based quality signal: perplexity of every odd
+    doc under an add-one bigram LM trained on the even half (the
+    trusted-reference split — no external data). Training is two
+    combinable aggregations + one no-Expand distinct count; scoring is
+    two hash joins and ONE exact integer sum per doc (each -ln P term
+    is 6-dp fixed-point, so the mean is independent of float summation
+    order — the value-hash gate holds bit-for-bit). The oracle refits
+    the identical model and recomputes every smoothed probability,
+    backoff, and rounded log term in SQL."""
+    from dedup_spark.operators.lm import perplexity_report
+
+    docs = _docs(spark, sf_dir)
+    return perplexity_report(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram of events.value per event type (width_bucket
     over the GLOBAL min/max, 16 buckets + the upper-edge overflow
@@ -2998,7 +3017,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # appeared in any driver CORRECTNESS artifact, then the round-5
     # additions (suffix_array_spans, bloom_gram_dedup,
     # unicode_nfc_dedup, incremental_bloom_dedup, key_skew_profile,
-    # line_dedup, edit1_name_pairs — positions 11-17), then the 19 last
+    # line_dedup, edit1_name_pairs, lm_perplexity — positions 11-18),
+    # then the 19 last
     # driver-checked in round 3, then round-4-covered entries to fill
     # the window — so r4 + r5 artifacts jointly cover all 84
     # (containment_pairs, cc_clusters, cluster_safe_split,
@@ -3027,6 +3047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_profile": q_key_skew_profile,
         "line_dedup": q_line_dedup,
         "edit1_name_pairs": q_edit1_name_pairs,
+        "lm_perplexity": q_lm_perplexity,
         # --- last driver-checked in round 3 ---
         "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
@@ -4147,6 +4168,48 @@ SELECT doc_id,
                        FILTER (WHERE rn = 1))
             END AS kept_text_md5
 FROM r GROUP BY doc_id
+""",
+        # bigram-LM perplexity: refit the identical add-one model in
+        # SQL — bigram counts, history counts derived from them, the
+        # vocab size, the 1/V backoff, and the 6-dp fixed-point log
+        # terms summed exactly as BIGINTs
+        "lm_perplexity": f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS arr FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+),
+tb AS (
+  SELECT arr[i] AS w1, arr[i+1] AS w2
+  FROM t, UNNEST(range(1, len(arr))) AS u(i)
+  WHERE doc_id % 2 = 0 AND len(arr) >= 2
+),
+c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM tb GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+v AS (
+  SELECT CAST(count(DISTINCT u.tk) AS BIGINT) AS v
+  FROM t, UNNEST(arr) AS u(tk) WHERE doc_id % 2 = 0
+),
+sb AS (
+  SELECT doc_id, arr[i] AS w1, arr[i+1] AS w2
+  FROM t, UNNEST(range(1, len(arr))) AS u(i)
+  WHERE doc_id % 2 = 1 AND len(arr) >= 2
+),
+p AS (
+  SELECT sb.doc_id,
+         CASE WHEN c1.c1 IS NULL THEN 1.0 / v.v
+              ELSE CAST(coalesce(c12.c12, 0) + 1 AS DOUBLE)
+                   / CAST(c1.c1 + v.v AS DOUBLE) END AS p
+  FROM sb LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1), v
+),
+s AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         sum(CAST(round(-ln(p) * 1000000, 0) AS BIGINT)) AS ssum
+  FROM p GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+       round(ssum / 1000000.0 / n_bigrams, 6) AS avg_nll,
+       round(exp(ssum / 1000000.0 / n_bigrams), 6) AS ppl
+FROM s
 """,
         # edit-distance-1 pairs: the BRUTE-FORCE quadratic Levenshtein
         # join — a different algorithm than the engine's deletion-

@@ -105,6 +105,9 @@ HEADLINE = [
     # round-5: FastSS deletion-neighborhood edit-distance-1 pairs
     # (linear blocking keys + JVM levenshtein verify, never O(n^2))
     "edit1_name_pairs",
+    # round-5: CCNet-style bigram-LM perplexity (combinable count
+    # training, hash-join scoring, exact fixed-point log sums)
+    "lm_perplexity",
 ]
 
 

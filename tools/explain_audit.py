@@ -599,6 +599,15 @@ def main() -> None:
         out,
     )
 
+    audit(
+        "lm_perplexity (combinable count aggs, broadcast V scalar, "
+        "no Expand distinct, pure JVM)",
+        e.queries()["lm_perplexity"](spark, sf),
+        ["wholestage_codegen", "no_python_udf", "no_expand",
+         "broadcast_join"],
+        out,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write("\n".join(out) + "\n")
     fails = sum(1 for line in out if line.startswith("- ❌"))
