@@ -1357,6 +1357,49 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon entropy of the token distribution — the
+    repetitiveness/diversity signal quality pipelines threshold on
+    (keyboard mash and template spam sit near 0; diverse prose near
+    ln(vocab)): H = ln(n) - (1/n)·sum(c·ln c). Two combinable
+    aggregations — groupBy(doc, token) counts, then one per-doc fold —
+    no joins, no windows, linear at any corpus size. The c·ln(c) terms
+    are 6-dp fixed-point BIGINTs summed exactly (the lm_perplexity
+    determinism trick), so the value hash is float-order-free;
+    norm_entropy = H / ln(n_distinct) is NULL for single-token-type
+    docs on both engines."""
+    docs = _docs(spark, sf_dir).filter(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    counts = (
+        docs.select("doc_id", F.explode(toks).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    term = F.round(
+        F.col("c").cast("double") * F.log(F.col("c").cast("double")) * 1e6
+    ).cast("long")
+    agg = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(term).cast("long").alias("_s"),
+    )
+    ent = F.log(F.col("n_tokens").cast("double")) - (
+        F.col("_s") / F.lit(1e6) / F.col("n_tokens")
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(ent, 6).alias("entropy"),
+        F.when(
+            F.col("n_distinct") > 1,
+            F.round(ent / F.log(F.col("n_distinct").cast("double")), 6),
+        ).alias("norm_entropy"),
+    )
+
+
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram of events.value per event type (width_bucket
     over the GLOBAL min/max, 16 buckets + the upper-edge overflow
@@ -3017,8 +3060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # appeared in any driver CORRECTNESS artifact, then the round-5
     # additions (suffix_array_spans, bloom_gram_dedup,
     # unicode_nfc_dedup, incremental_bloom_dedup, key_skew_profile,
-    # line_dedup, edit1_name_pairs, lm_perplexity — positions 11-18),
-    # then the 19 last
+    # line_dedup, edit1_name_pairs, lm_perplexity, token_entropy —
+    # positions 11-19), then the 19 last
     # driver-checked in round 3, then round-4-covered entries to fill
     # the window — so r4 + r5 artifacts jointly cover all 84
     # (containment_pairs, cc_clusters, cluster_safe_split,
@@ -3048,6 +3091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "edit1_name_pairs": q_edit1_name_pairs,
         "lm_perplexity": q_lm_perplexity,
+        "token_entropy": q_token_entropy,
         # --- last driver-checked in round 3 ---
         "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
@@ -4210,6 +4254,32 @@ SELECT doc_id, n_bigrams,
        round(ssum / 1000000.0 / n_bigrams, 6) AS avg_nll,
        round(exp(ssum / 1000000.0 / n_bigrams), 6) AS ppl
 FROM s
+""",
+        # token entropy: recompute the per-(doc, token) counts, the
+        # 6-dp fixed-point c·ln(c) terms, and both entropy forms
+        "token_entropy": f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS arr FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+),
+c AS (
+  SELECT doc_id, u.tk, CAST(count(*) AS BIGINT) AS c
+  FROM t, UNNEST(arr) AS u(tk) GROUP BY doc_id, u.tk
+),
+a AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         sum(CAST(round(c * ln(c) * 1000000, 0) AS BIGINT)) AS ssum
+  FROM c GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+       round(ln(n_tokens) - ssum / 1000000.0 / n_tokens, 6) AS entropy,
+       CASE WHEN n_distinct > 1
+            THEN round((ln(n_tokens) - ssum / 1000000.0 / n_tokens)
+                       / ln(n_distinct), 6)
+            END AS norm_entropy
+FROM a
 """,
         # edit-distance-1 pairs: the BRUTE-FORCE quadratic Levenshtein
         # join — a different algorithm than the engine's deletion-

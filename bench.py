@@ -108,6 +108,8 @@ HEADLINE = [
     # round-5: CCNet-style bigram-LM perplexity (combinable count
     # training, hash-join scoring, exact fixed-point log sums)
     "lm_perplexity",
+    # round-5: per-doc token-entropy signal (two combinable aggs)
+    "token_entropy",
 ]
 
 

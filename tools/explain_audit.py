@@ -608,6 +608,14 @@ def main() -> None:
         out,
     )
 
+    audit(
+        "token_entropy (two combinable aggregations, no joins/windows, "
+        "pure JVM)",
+        e.queries()["token_entropy"](spark, sf),
+        ["wholestage_codegen", "no_python_udf", "no_expand"],
+        out,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write("\n".join(out) + "\n")
     fails = sum(1 for line in out if line.startswith("- ❌"))
