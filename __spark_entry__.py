@@ -1400,6 +1400,35 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SNM_W = 4  # sorted-neighborhood window size
+
+
+def q_snm_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood candidate generation (Hernandez & Stolfo's
+    Merge/Purge) over customer names + Levenshtein verification: sort
+    by name, every pair within a window of 4 is a candidate — the
+    blocking strategy whose candidate count is n·(w-1) REGARDLESS of
+    key skew (the flood case that blows up an LSH band costs SNM
+    nothing). The global order comes from the engine's two-pass
+    range-partitioned rank (never a single-partition window); the
+    sliding window becomes a balanced self-join on 2w-record overlap
+    bands. The oracle recomputes the rank with a plain row_number
+    window and the pairs with a range join — different algorithms,
+    identical sets."""
+    from dedup_spark.operators.snm import snm_candidate_pairs
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pairs = snm_candidate_pairs(
+        cust, key_col="c_name", id_col="c_custkey", window=SNM_W
+    )
+    return pairs.select(
+        F.col("c_name_a").alias("name_a"),
+        F.col("c_name_b").alias("name_b"),
+        "gap",
+        F.levenshtein("c_name_a", "c_name_b").cast("long").alias("dist"),
+    )
+
+
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram of events.value per event type (width_bucket
     over the GLOBAL min/max, 16 buckets + the upper-edge overflow
@@ -3060,8 +3089,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # appeared in any driver CORRECTNESS artifact, then the round-5
     # additions (suffix_array_spans, bloom_gram_dedup,
     # unicode_nfc_dedup, incremental_bloom_dedup, key_skew_profile,
-    # line_dedup, edit1_name_pairs, lm_perplexity, token_entropy —
-    # positions 11-19), then the 19 last
+    # line_dedup, edit1_name_pairs, lm_perplexity, token_entropy,
+    # snm_name_pairs — positions 11-20), then the 19 last
     # driver-checked in round 3, then round-4-covered entries to fill
     # the window — so r4 + r5 artifacts jointly cover all 84
     # (containment_pairs, cc_clusters, cluster_safe_split,
@@ -3092,6 +3121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit1_name_pairs": q_edit1_name_pairs,
         "lm_perplexity": q_lm_perplexity,
         "token_entropy": q_token_entropy,
+        "snm_name_pairs": q_snm_name_pairs,
         # --- last driver-checked in round 3 ---
         "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
@@ -4254,6 +4284,21 @@ SELECT doc_id, n_bigrams,
        round(ssum / 1000000.0 / n_bigrams, 6) AS avg_nll,
        round(exp(ssum / 1000000.0 / n_bigrams), 6) AS ppl
 FROM s
+""",
+        # SNM pairs: recompute the global order with a plain
+        # row_number window and the sliding window with a range join —
+        # a different algorithm than the banded two-pass rank
+        "snm_name_pairs": f"""
+WITH r AS (
+  SELECT c_name,
+         row_number() OVER (ORDER BY c_name, c_custkey) - 1 AS rk
+  FROM customer
+)
+SELECT a.c_name AS name_a, b.c_name AS name_b,
+       CAST(b.rk - a.rk AS BIGINT) AS gap,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM r a JOIN r b
+  ON b.rk > a.rk AND b.rk - a.rk < {SNM_W}
 """,
         # token entropy: recompute the per-(doc, token) counts, the
         # 6-dp fixed-point c·ln(c) terms, and both entropy forms

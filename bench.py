@@ -110,6 +110,9 @@ HEADLINE = [
     "lm_perplexity",
     # round-5: per-doc token-entropy signal (two combinable aggs)
     "token_entropy",
+    # round-5: sorted-neighborhood candidates (two-pass range rank +
+    # overlap-band self-join; skew-immune by construction)
+    "snm_name_pairs",
 ]
 
 

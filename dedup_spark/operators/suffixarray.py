@@ -122,6 +122,11 @@ def _dense_ranks(
     )
 
 
+# public name: the two-pass range-partitioned rank is a general
+# building block (the SNM blocker reuses it), not suffix-array-private
+dense_ranks = _dense_ranks
+
+
 def prefix_doubling_ranks(
     positions: DataFrame,
     window: int | None = None,

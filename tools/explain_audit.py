@@ -616,6 +616,15 @@ def main() -> None:
         out,
     )
 
+    audit(
+        "snm_name_pairs (two-pass range rank + balanced band "
+        "self-join — no global-order window, no cartesian)",
+        e.queries()["snm_name_pairs"](spark, sf),
+        ["wholestage_codegen", "no_python_udf", "no_cartesian",
+         "broadcast_join"],
+        out,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write("\n".join(out) + "\n")
     fails = sum(1 for line in out if line.startswith("- ❌"))
