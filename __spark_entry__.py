@@ -2785,6 +2785,28 @@ def q_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-video scene segmentation over exact frame runs (frozen-
+    frame / static-segment detection — the slideshow and broken-encode
+    signal video curation thresholds at ingest): all-frame JVM
+    signatures, then lag → running-sum → run-length windows
+    partitioned BY VIDEO (never a global window), one combinable
+    aggregate. Runs on a dedicated scene-structured rawv corpus
+    (fixtures/av.py generate_scene_video_corpus: seeded scene runs,
+    all-static, all-unique and single-frame edge shapes). The oracle
+    recomputes every signature from hex(bytes) and the identical
+    lag/sum/group cascade."""
+    from dedup_spark.multimodal.video import scene_segments
+
+    return scene_segments(_fixture_scene_videos(spark))
+
+
+def _fixture_scene_videos(spark: SparkSession):
+    from dedup_spark.fixtures.materialize import fixture_scene_videos_parquet
+
+    return spark.read.parquet(fixture_scene_videos_parquet())
+
+
 def q_audio_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Amplitude-invariant audio dedup (pcm16, multimodal/audio.py):
     windowed int64 sum-of-squares energies → delta-sign fingerprint
@@ -3090,7 +3112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # additions (suffix_array_spans, bloom_gram_dedup,
     # unicode_nfc_dedup, incremental_bloom_dedup, key_skew_profile,
     # line_dedup, edit1_name_pairs, lm_perplexity, token_entropy,
-    # snm_name_pairs — positions 11-20), then the 19 last
+    # snm_name_pairs, video_scene_segments — positions 11-21), then
+    # the 19 last
     # driver-checked in round 3, then round-4-covered entries to fill
     # the window — so r4 + r5 artifacts jointly cover all 84
     # (containment_pairs, cc_clusters, cluster_safe_split,
@@ -3122,6 +3145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "token_entropy": q_token_entropy,
         "snm_name_pairs": q_snm_name_pairs,
+        "video_scene_segments": q_video_scene_segments,
         # --- last driver-checked in round 3 ---
         "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
@@ -3282,6 +3306,9 @@ nr AS (SELECT doc_id, sqrt(CAST(sum(cnt*cnt) AS DOUBLE)) AS nrm
     )
 
     vid_fixture = f"read_parquet('{fixture_videos_parquet()}')"
+    from dedup_spark.fixtures.materialize import fixture_scene_videos_parquet
+
+    scene_fixture = f"read_parquet('{fixture_scene_videos_parquet()}')"
     aud_fixture = f"read_parquet('{fixture_audio_parquet()}')"
     from dedup_spark.fixtures.materialize import fixture_avi_parquet
     from dedup_spark.multimodal.avi import (
@@ -4783,6 +4810,37 @@ QUALIFY rnk <= {TOPK}
         # full value recompute of the sampled-frame signatures from the
         # stored rawv bytes: hex-then-slice commutes with the engine's
         # slice-then-hex (offset 24 = 12-byte header in hex chars)
+        # scene segmentation: signatures from hex(bytes), then the
+        # identical lag -> running-sum -> run-length cascade in SQL
+        "video_scene_segments": f"""
+WITH fx AS (SELECT video_id, hex(bytes) AS hx, w*h*3 AS fsz, n_frames
+            FROM {scene_fixture}),
+f AS (
+  SELECT video_id, t.k AS frame_idx,
+         md5(substring(hx, 24 + t.k*fsz*2 + 1, fsz*2)) AS sig
+  FROM fx CROSS JOIN generate_series(0, 63) t(k)
+  WHERE t.k < n_frames
+),
+c AS (
+  SELECT video_id, frame_idx,
+         CASE WHEN lag(sig) OVER w IS NULL OR sig <> lag(sig) OVER w
+              THEN 1 ELSE 0 END AS cut
+  FROM f WINDOW w AS (PARTITION BY video_id ORDER BY frame_idx)
+),
+r AS (
+  SELECT video_id,
+         sum(cut) OVER (PARTITION BY video_id ORDER BY frame_idx) AS run
+  FROM c
+),
+rl AS (SELECT video_id, run, CAST(count(*) AS BIGINT) AS ln
+       FROM r GROUP BY video_id, run)
+SELECT video_id,
+       CAST(sum(ln) AS BIGINT) AS n_frames,
+       CAST(count(*) AS BIGINT) AS n_scenes,
+       CAST(max(ln) AS BIGINT) AS longest_run,
+       count(*) = 1 AS is_static
+FROM rl GROUP BY video_id
+""",
         "video_frame_dedup": f"""
 WITH fx AS (SELECT video_id, hex(bytes) AS hx, w*h*3 AS fsz, n_frames
             FROM {vid_fixture}),

@@ -113,6 +113,9 @@ HEADLINE = [
     # round-5: sorted-neighborhood candidates (two-pass range rank +
     # overlap-band self-join; skew-immune by construction)
     "snm_name_pairs",
+    # round-5: frozen-frame scene segmentation (per-video windows,
+    # JVM frame signatures on the scene-structured corpus)
+    "video_scene_segments",
 ]
 
 

@@ -111,6 +111,66 @@ class VideoCorpus:
     near_groups: list[list[str]]
 
 
+@dataclass
+class SceneVideoCorpus:
+    videos: pd.DataFrame  # VIDEOS_SCHEMA columns
+    # ground truth for pytest (NOT written to parquet — the oracle must
+    # recompute everything from bytes): video_id -> list of scene run
+    # lengths in order
+    scene_runs: dict[str, list[int]]
+
+
+def generate_scene_video_corpus(
+    n_base: int = 40, seed: int = 43
+) -> SceneVideoCorpus:
+    """Scene-structured rawv videos for the segmentation tier: each
+    video is a sequence of SCENES — one unique frame repeated for a
+    seeded run length — plus deliberate edge shapes: all-static videos
+    (one scene), all-unique videos (every frame its own scene), and a
+    single-frame video. Frames are globally unique across videos, so a
+    detected cut can only come from within-video structure."""
+    rng = np.random.default_rng(seed)
+    rows: list[tuple] = []
+    runs: dict[str, list[int]] = {}
+
+    def add(vid_id: str, frames: np.ndarray, lens: list[int]) -> None:
+        rows.append(
+            (
+                vid_id,
+                encode_rawv(frames),
+                VIDEO_W,
+                VIDEO_H,
+                frames.shape[0],
+                "rawv",
+            )
+        )
+        runs[vid_id] = lens
+
+    for i in range(n_base):
+        vid_id = f"scn_{i:04d}.rawv"
+        if i % 10 == 8:  # all-static: one scene filling the video
+            lens = [int(rng.integers(4, 17))]
+        elif i % 10 == 9:  # all-unique: every frame a scene
+            lens = [1] * int(rng.integers(4, 13))
+        else:
+            lens = [
+                int(rng.integers(1, 9))
+                for _ in range(int(rng.integers(2, 7)))
+            ]
+        total = sum(lens)
+        assert total <= MAX_FRAMES
+        uniq = _video_frames(10_000 + i, len(lens))
+        frames = np.repeat(uniq, lens, axis=0)
+        assert frames.shape[0] == total
+        add(vid_id, frames, lens)
+    add("scn_single.rawv", _video_frames(99_999, 1), [1])
+
+    videos = pd.DataFrame(
+        rows, columns=["video_id", "bytes", "w", "h", "n_frames", "fmt"]
+    )
+    return SceneVideoCorpus(videos=videos, scene_runs=runs | {})
+
+
 def _video_frames(vid: int, n_frames: int) -> np.ndarray:
     """n globally-unique deterministic frames for base video `vid`."""
     raw = _stream(b"video:%d" % vid, n_frames * FRAME_SIZE)

@@ -119,6 +119,37 @@ def fixture_videos_parquet(params: dict | None = None) -> str:
     return _write_atomic(table, out_dir, path)
 
 
+SCENE_VIDEO_PARAMS = dict(n_base=40, seed=43)
+
+
+def fixture_scene_videos_parquet(params: dict | None = None) -> str:
+    """Pinned SCENE-STRUCTURED rawv corpus (fixtures/av.py
+    generate_scene_video_corpus) for the segmentation tier — separate
+    from the near-dup video corpus so its gates stay untouched."""
+    import pyarrow as pa
+
+    from dedup_spark.fixtures.av import generate_scene_video_corpus
+
+    params = dict(SCENE_VIDEO_PARAMS if params is None else params)
+    out_dir = os.path.join(FIXTURE_ROOT, "scenevideos_" + _params_tag(params))
+    path = os.path.join(out_dir, "videos.parquet")
+    if os.path.exists(path):
+        return path
+    pdf = generate_scene_video_corpus(**params).videos
+    table = pa.Table.from_arrays(
+        [
+            pa.array(pdf["video_id"], type=pa.string()),
+            pa.array(pdf["bytes"], type=pa.binary()),
+            pa.array(pdf["w"], type=pa.int32()),
+            pa.array(pdf["h"], type=pa.int32()),
+            pa.array(pdf["n_frames"], type=pa.int32()),
+            pa.array(pdf["fmt"], type=pa.string()),
+        ],
+        names=["video_id", "bytes", "w", "h", "n_frames", "fmt"],
+    )
+    return _write_atomic(table, out_dir, path)
+
+
 def fixture_audio_parquet(params: dict | None = None) -> str:
     """Pinned pcm16 audio corpus (fixtures/av.py)."""
     import pyarrow as pa

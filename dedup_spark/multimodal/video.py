@@ -197,3 +197,44 @@ def video_near_duplicates(
         max_posting=max_posting,
         id_col=id_col,
     )
+
+
+def scene_segments(df: DataFrame, id_col: str = "video_id") -> DataFrame:
+    """Per-video scene segmentation over EXACT frame runs: a scene is
+    a maximal run of byte-identical consecutive frames, a cut is any
+    frame differing from its predecessor. This is the frozen-frame /
+    static-segment detector video curation runs at ingest (slideshow
+    and broken-encode detection; per-scene sampling budgets); with a
+    real codec the equality test swaps for a perceptual distance in
+    the same two-window shape.
+
+    Returns (video_id, n_frames, n_scenes, longest_run, is_static).
+
+    Shape: ALL frame signatures (every_n=1, JVM-only md5-of-hex as in
+    `frame_signatures`), then two windows partitioned BY VIDEO (never
+    global — parallelism is per-video, each window sorts one video's
+    frame list) and one combinable aggregate: cut flags via lag, run
+    ids via a running sum of cuts, run lengths via groupBy. The DuckDB
+    oracle recomputes signatures from hex(bytes) and the identical
+    lag/sum/group cascade."""
+    from pyspark.sql import Window
+
+    sigs = frame_signatures(df, every_n=1, id_col=id_col)
+    w = Window.partitionBy(id_col).orderBy("frame_idx")
+    cuts = sigs.withColumn(
+        "_cut",
+        F.when(
+            F.lag("sig").over(w).isNull()
+            | (F.col("sig") != F.lag("sig").over(w)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("_run", F.sum("_cut").over(w))
+    run_lens = cuts.groupBy(id_col, "_run").agg(
+        F.count(F.lit(1)).cast("long").alias("_len")
+    )
+    return run_lens.groupBy(id_col).agg(
+        F.sum("_len").cast("long").alias("n_frames"),
+        F.count(F.lit(1)).cast("long").alias("n_scenes"),
+        F.max("_len").cast("long").alias("longest_run"),
+        (F.count(F.lit(1)) == 1).alias("is_static"),
+    )

@@ -625,6 +625,15 @@ def main() -> None:
         out,
     )
 
+    audit(
+        "video_scene_segments (per-video windows — never global — "
+        "payload sliced in the scan projection, pure JVM)",
+        e.queries()["video_scene_segments"](spark, sf),
+        ["wholestage_codegen", "no_python_udf", "no_expand",
+         "no_payload_in_exchange"],
+        out,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write("\n".join(out) + "\n")
     fails = sum(1 for line in out if line.startswith("- ❌"))
