@@ -1069,6 +1069,51 @@ def q_unicode_nfc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nfc_clusters(variants, id_col="variant_id", text_col="text")
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup (functions/urls.py — the crawl-identity
+    tier every web pipeline runs BEFORE touching content): each doc
+    deterministically spawns a clean URL and a dirty twin (uppercase
+    scheme/host, explicit :443, interleaved utm_* params, shuffled
+    param order, trailing slash, #fragment; variant ids 2*doc_id /
+    2*doc_id+1) and canonicalization must collapse each pair while
+    never crossing docs. Cross-validation is real: the engine parses
+    with Spark's built-in parse_url (Java URI semantics) + array
+    expressions, the oracle re-derives every part with REGEXES — two
+    independent parsers must emit the identical canonical string,
+    cluster, and flag. Scale shape: per-row projection (no shuffle),
+    then the standard min-per-canonical clustering."""
+    from dedup_spark.functions.urls import canonical_url
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    site = F.col("doc_id") % 37
+    clean = F.concat(
+        F.lit("https://site"), site, F.lit(".example.com/p/"),
+        F.col("doc_id"), F.lit("/?id="), F.col("doc_id"),
+        F.lit("&q=spark"),
+    )
+    dirty = F.concat(
+        F.lit("HTTPS://SITE"), site, F.lit(".EXAMPLE.COM:443/p/"),
+        F.col("doc_id"), F.lit("?utm_source=feed&q=spark&id="),
+        F.col("doc_id"), F.lit("&utm_campaign=x#frag"),
+    )
+    variants = docs.select(
+        (F.col("doc_id") * 2).alias("variant_id"), clean.alias("url")
+    ).unionAll(
+        docs.select(
+            (F.col("doc_id") * 2 + 1).alias("variant_id"),
+            dirty.alias("url"),
+        )
+    )
+    canon = variants.withColumn("canonical", canonical_url(F.col("url")))
+    w = Window.partitionBy("canonical")
+    return canon.select(
+        "variant_id",
+        F.min("variant_id").over(w).alias("cluster_id"),
+        "canonical",
+    )
+
+
 def q_exact_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-span excision (operators/spandedup.py — the
     Lee et al. 2022 ExactSubstr corpus-cleaning stage, word-13-gram
@@ -3112,8 +3157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # additions (suffix_array_spans, bloom_gram_dedup,
     # unicode_nfc_dedup, incremental_bloom_dedup, key_skew_profile,
     # line_dedup, edit1_name_pairs, lm_perplexity, token_entropy,
-    # snm_name_pairs, video_scene_segments — positions 11-21), then
-    # the 19 last
+    # snm_name_pairs, video_scene_segments, url_dedup — positions
+    # 11-22), then the 19 last
     # driver-checked in round 3, then round-4-covered entries to fill
     # the window — so r4 + r5 artifacts jointly cover all 84
     # (containment_pairs, cc_clusters, cluster_safe_split,
@@ -3146,6 +3191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy": q_token_entropy,
         "snm_name_pairs": q_snm_name_pairs,
         "video_scene_segments": q_video_scene_segments,
+        "url_dedup": q_url_dedup,
         # --- last driver-checked in round 3 ---
         "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
@@ -4311,6 +4357,60 @@ SELECT doc_id, n_bigrams,
        round(ssum / 1000000.0 / n_bigrams, 6) AS avg_nll,
        round(exp(ssum / 1000000.0 / n_bigrams), 6) AS ppl
 FROM s
+""",
+        # URL dedup: re-derive every URL part with REGEXES (vs the
+        # engine's Java-URI parse_url) — independent parsers must
+        # emit the identical canonical string
+        "url_dedup": """
+WITH v AS (
+  SELECT doc_id * 2 AS variant_id,
+         'https://site' || (doc_id % 37) || '.example.com/p/' || doc_id
+           || '/?id=' || doc_id || '&q=spark' AS url
+  FROM documents
+  UNION ALL
+  SELECT doc_id * 2 + 1,
+         'HTTPS://SITE' || (doc_id % 37) || '.EXAMPLE.COM:443/p/'
+           || doc_id || '?utm_source=feed&q=spark&id=' || doc_id
+           || '&utm_campaign=x#frag'
+  FROM documents
+),
+p AS (
+  SELECT variant_id,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+           AS scheme,
+         regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+  FROM v
+),
+p2 AS (
+  SELECT variant_id, scheme,
+         lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS auth,
+         regexp_extract(rest, '^[^/?#]*([^?#]*)', 1) AS rawpath,
+         regexp_extract(rest, '\\?([^#]*)', 1) AS q
+  FROM p
+),
+p3 AS (
+  SELECT *, array_to_string(list_sort(list_filter(string_split(q, '&'),
+           x -> x <> '' AND NOT regexp_matches(x,
+                  '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS qs
+  FROM p2
+),
+c AS (
+  SELECT variant_id,
+         scheme || '://'
+         || CASE WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+                 WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+                 ELSE auth END
+         || CASE WHEN rawpath = '' THEN '/'
+                 WHEN length(rawpath) > 1
+                   THEN regexp_replace(rawpath, '/$', '')
+                 ELSE rawpath END
+         || CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canonical
+  FROM p3
+)
+SELECT variant_id,
+       min(variant_id) OVER (PARTITION BY canonical) AS cluster_id,
+       canonical
+FROM c
 """,
         # SNM pairs: recompute the global order with a plain
         # row_number window and the sliding window with a range join —

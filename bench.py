@@ -116,6 +116,9 @@ HEADLINE = [
     # round-5: frozen-frame scene segmentation (per-video windows,
     # JVM frame signatures on the scene-structured corpus)
     "video_scene_segments",
+    # round-5: canonical-URL dedup (parse_url projection, no shuffle
+    # before the clustering groupBy)
+    "url_dedup",
 ]
 
 

@@ -634,6 +634,14 @@ def main() -> None:
         out,
     )
 
+    audit(
+        "url_dedup (parse_url projection + min-per-canonical — "
+        "pure JVM, no Expand)",
+        e.queries()["url_dedup"](spark, sf),
+        ["wholestage_codegen", "no_python_udf", "no_expand"],
+        out,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write("\n".join(out) + "\n")
     fails = sum(1 for line in out if line.startswith("- ❌"))
