@@ -1114,6 +1114,77 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_K = 6  # tokenizer-induction depth for the gate
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge induction (operators/bpe.py — Sennrich et
+    al. 2016, the training loop behind GPT-2/SentencePiece BPE): the
+    first 6 tokenizer merges over the corpus, each round one
+    combinable pair-count aggregation over the distinct-word table +
+    a 1-row argmax collect with a deterministic (freq desc, pair asc)
+    tie-break + one literal string replace (the \\x01 symbol-start
+    marker makes suffix false-matches impossible and leftmost
+    non-overlapping replace IS BPE's greedy merge — probed identical
+    in both engines). The corpus-scale work is ONE word-frequency
+    groupBy; all k rounds run on the vocabulary. The oracle replays
+    the identical rounds as unrolled CTE stages generated by the same
+    loop."""
+    from dedup_spark.operators.bpe import bpe_merges, word_frequencies
+
+    return bpe_merges(word_frequencies(_docs(spark, sf_dir)), k=BPE_K)
+
+
+def _bpe_oracle_sql() -> str:
+    """Unrolled k-stage SQL replay of bpe_merges (same loop, same
+    tie-break, same marked-string replacement)."""
+    stages = [
+        f"""t AS (
+  SELECT {_TOKS} AS arr FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+),
+w0 AS (
+  SELECT CAST(count(*) AS BIGINT) AS cnt,
+         chr(1) || array_to_string(string_split(u.tk, ''), ' ' || chr(1))
+           AS seq
+  FROM t, UNNEST(arr) AS u(tk) GROUP BY u.tk
+)"""
+    ]
+    for i in range(BPE_K):
+        stages.append(
+            f"""p{i} AS (
+  SELECT q.sy[j] || ' ' || q.sy[j+1] AS pair, q.cnt
+  FROM (SELECT cnt, string_split(seq, ' ') AS sy FROM w{i}) q,
+       UNNEST(range(1, len(q.sy))) AS u(j)
+)"""
+        )
+        stages.append(
+            f"""b{i} AS (
+  SELECT pair, CAST(sum(cnt) AS BIGINT) AS freq FROM p{i}
+  GROUP BY pair ORDER BY freq DESC, pair ASC LIMIT 1
+)"""
+        )
+        stages.append(
+            f"""w{i + 1} AS (
+  SELECT w.cnt,
+         replace(w.seq, b.pair,
+                 chr(1) || replace(replace(b.pair, chr(1), ''), ' ', ''))
+           AS seq
+  FROM w{i} w, b{i} b
+)"""
+        )
+    finals = [
+        f"""SELECT CAST({i + 1} AS BIGINT) AS rank,
+       replace(split_part(pair, ' ', 1), chr(1), '') AS sym_left,
+       replace(split_part(pair, ' ', 2), chr(1), '') AS sym_right,
+       replace(replace(pair, chr(1), ''), ' ', '') AS merged,
+       freq
+FROM b{i}"""
+        for i in range(BPE_K)
+    ]
+    return "WITH " + ",\n".join(stages) + "\n" + "\nUNION ALL\n".join(finals)
+
+
 def q_exact_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-span excision (operators/spandedup.py — the
     Lee et al. 2022 ExactSubstr corpus-cleaning stage, word-13-gram
@@ -3157,8 +3228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # additions (suffix_array_spans, bloom_gram_dedup,
     # unicode_nfc_dedup, incremental_bloom_dedup, key_skew_profile,
     # line_dedup, edit1_name_pairs, lm_perplexity, token_entropy,
-    # snm_name_pairs, video_scene_segments, url_dedup — positions
-    # 11-22), then the 19 last
+    # snm_name_pairs, video_scene_segments, url_dedup, bpe_merges —
+    # positions 11-23), then the 19 last
     # driver-checked in round 3, then round-4-covered entries to fill
     # the window — so r4 + r5 artifacts jointly cover all 84
     # (containment_pairs, cc_clusters, cluster_safe_split,
@@ -3192,6 +3263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snm_name_pairs": q_snm_name_pairs,
         "video_scene_segments": q_video_scene_segments,
         "url_dedup": q_url_dedup,
+        "bpe_merges": q_bpe_merges,
         # --- last driver-checked in round 3 ---
         "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
@@ -4358,6 +4430,9 @@ SELECT doc_id, n_bigrams,
        round(exp(ssum / 1000000.0 / n_bigrams), 6) AS ppl
 FROM s
 """,
+        # BPE merges: unrolled k-round replay (counting, tie-break,
+        # marked-string replacement) generated by the same loop
+        "bpe_merges": _bpe_oracle_sql(),
         # URL dedup: re-derive every URL part with REGEXES (vs the
         # engine's Java-URI parse_url) — independent parsers must
         # emit the identical canonical string

@@ -119,6 +119,9 @@ HEADLINE = [
     # round-5: canonical-URL dedup (parse_url projection, no shuffle
     # before the clustering groupBy)
     "url_dedup",
+    # round-5: distributed BPE merge induction (k combinable rounds
+    # over the vocab; corpus-scale work is one word-frequency groupBy)
+    "bpe_merges",
 ]
 
 

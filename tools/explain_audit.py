@@ -642,6 +642,18 @@ def main() -> None:
         out,
     )
 
+    # bpe: audit the per-round pair-count aggregation (the repeated
+    # stage) — the final merge table is a k-row driver frame
+    from dedup_spark.operators.bpe import word_frequencies
+
+    audit(
+        "bpe word-frequency pass + pair counting (combinable aggs, "
+        "pure JVM)",
+        word_frequencies(spark.read.parquet(f"{sf}/documents.parquet")),
+        ["wholestage_codegen", "no_python_udf", "no_expand"],
+        out,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write("\n".join(out) + "\n")
     fails = sum(1 for line in out if line.startswith("- ❌"))
