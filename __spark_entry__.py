@@ -1114,6 +1114,59 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit — the corpus-health diagnostic (natural
+    text has log-log slope ≈ -1; template spam and synthetic floods
+    bend the curve): least-squares slope+intercept of ln(cnt) over
+    ln(rank) across the full vocabulary. The rank is the engine's
+    two-pass range-partitioned rank over (-cnt, token) — NEVER a
+    global-order window (a 100 TB vocabulary is millions of rows).
+    Determinism: per-token ln terms are 6-dp fixed-point BIGINTs, the
+    five regression sums are EXACT DECIMAL(38,0)/HUGEINT integers, and
+    only the final slope/intercept divisions touch doubles — identical
+    in both engines. The oracle recomputes the ranking with a plain
+    row_number window and the identical integer sums."""
+    from dedup_spark.operators.bpe import word_frequencies
+    from dedup_spark.operators.suffixarray import dense_ranks
+
+    vocab = word_frequencies(_docs(spark, sf_dir)).withColumn(
+        "_neg", (-F.col("cnt")).cast("long")
+    )
+    ranked = dense_ranks(
+        vocab.select("_neg", "word", "cnt"), ["_neg", "word"], "_r0"
+    ).join(vocab, ["_neg", "word"])
+    xi = F.round(F.log((F.col("_r0") + 1).cast("double")) * 1e6).cast("long")
+    yi = F.round(F.log(F.col("cnt").cast("double")) * 1e6).cast("long")
+    t = ranked.select(
+        xi.alias("x"),
+        yi.alias("y"),
+        (xi.cast("decimal(38,0)") * yi.cast("decimal(38,0)")).alias("xy"),
+        (xi.cast("decimal(38,0)") * xi.cast("decimal(38,0)")).alias("xx"),
+    )
+    s = t.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum("xy").cast("decimal(38,0)").alias("sxy"),
+        F.sum("xx").cast("decimal(38,0)").alias("sxx"),
+    )
+    n = F.col("n_vocab").cast("decimal(38,0)")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    # ln terms were scaled by 1e6, which cancels in the slope; the
+    # intercept needs one rescale back to nats
+    intercept = (
+        F.col("sy").cast("double") / F.col("n_vocab")
+        - slope * (F.col("sx").cast("double") / F.col("n_vocab"))
+    ) / F.lit(1e6)
+    return s.select(
+        "n_vocab",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )
+
+
 BPE_K = 6  # tokenizer-induction depth for the gate
 
 
@@ -3228,8 +3281,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # additions (suffix_array_spans, bloom_gram_dedup,
     # unicode_nfc_dedup, incremental_bloom_dedup, key_skew_profile,
     # line_dedup, edit1_name_pairs, lm_perplexity, token_entropy,
-    # snm_name_pairs, video_scene_segments, url_dedup, bpe_merges —
-    # positions 11-23), then the 19 last
+    # snm_name_pairs, video_scene_segments, url_dedup, bpe_merges,
+    # zipf_fit — positions 11-24), then the 19 last
     # driver-checked in round 3, then round-4-covered entries to fill
     # the window — so r4 + r5 artifacts jointly cover all 84
     # (containment_pairs, cc_clusters, cluster_safe_split,
@@ -3264,6 +3317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_scene_segments": q_video_scene_segments,
         "url_dedup": q_url_dedup,
         "bpe_merges": q_bpe_merges,
+        "zipf_fit": q_zipf_fit,
         # --- last driver-checked in round 3 ---
         "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
@@ -4428,6 +4482,46 @@ s AS (
 SELECT doc_id, n_bigrams,
        round(ssum / 1000000.0 / n_bigrams, 6) AS avg_nll,
        round(exp(ssum / 1000000.0 / n_bigrams), 6) AS ppl
+FROM s
+""",
+        # Zipf fit: rank via a plain row_number window (vs the
+        # engine's two-pass range rank), identical fixed-point terms,
+        # exact HUGEINT regression sums
+        "zipf_fit": f"""
+WITH t AS (
+  SELECT {_TOKS} AS arr FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+),
+v AS (
+  SELECT u.tk AS word, CAST(count(*) AS BIGINT) AS cnt
+  FROM t, UNNEST(arr) AS u(tk) GROUP BY u.tk
+),
+r AS (
+  SELECT cnt,
+         row_number() OVER (ORDER BY cnt DESC, word ASC) AS rank
+  FROM v
+),
+f AS (
+  SELECT CAST(round(ln(rank) * 1000000, 0) AS BIGINT) AS x,
+         CAST(round(ln(cnt) * 1000000, 0) AS BIGINT) AS y
+  FROM r
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+         sum(CAST(x AS HUGEINT)) AS sx,
+         sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx
+  FROM f
+)
+SELECT n_vocab,
+       round(CAST(n_vocab * sxy - sx * sy AS DOUBLE)
+             / CAST(n_vocab * sxx - sx * sx AS DOUBLE), 6) AS slope,
+       round((CAST(sy AS DOUBLE) / n_vocab
+              - (CAST(n_vocab * sxy - sx * sy AS DOUBLE)
+                 / CAST(n_vocab * sxx - sx * sx AS DOUBLE))
+                * (CAST(sx AS DOUBLE) / n_vocab)) / 1000000.0, 6)
+         AS intercept
 FROM s
 """,
         # BPE merges: unrolled k-round replay (counting, tie-break,

@@ -122,6 +122,9 @@ HEADLINE = [
     # round-5: distributed BPE merge induction (k combinable rounds
     # over the vocab; corpus-scale work is one word-frequency groupBy)
     "bpe_merges",
+    # round-5: Zipf rank-frequency fit (two-pass rank, exact decimal
+    # regression sums)
+    "zipf_fit",
 ]
 
 

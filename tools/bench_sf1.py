@@ -78,6 +78,22 @@ TEXT_QUERIES = [
     "suffix_array_spans",
     "bloom_gram_dedup",
     "unicode_nfc_dedup",
+    # round-5 session-4+ tiers (documents-table). Replica token
+    # prefixes keep each replica's dup/vocab structure private, so
+    # line_dedup sees a clean 10x line set, lm_perplexity trains a 10x
+    # vocab with per-replica token spaces, bpe_merges counts pairs
+    # over a 10x vocabulary. Customer-table queries (edit1_name_pairs,
+    # snm_name_pairs) are excluded: customer is symlinked unscaled
+    # here — their scaling story is the events replica recipe's job if
+    # ever needed. video_scene_segments runs on a pinned fixture
+    # (sf-independent, like the image queries).
+    "key_skew_profile",
+    "line_dedup",
+    "lm_perplexity",
+    "token_entropy",
+    "url_dedup",
+    "bpe_merges",
+    "zipf_fit",
 ]
 
 # round-5 additions (VERDICT r4 item 4): the round-4 query classes that

@@ -654,6 +654,15 @@ def main() -> None:
         out,
     )
 
+    audit(
+        "zipf_fit (two-pass range rank, exact decimal regression "
+        "sums, no global-order window, pure JVM)",
+        e.queries()["zipf_fit"](spark, sf),
+        ["wholestage_codegen", "no_python_udf", "no_expand",
+         "broadcast_join"],
+        out,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write("\n".join(out) + "\n")
     fails = sum(1 for line in out if line.startswith("- ❌"))
