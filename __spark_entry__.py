@@ -2993,6 +2993,30 @@ def q_audio_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_fingerprint_clusters(_fixture_audio(spark))
 
 
+def q_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence/clipping quality report (multimodal/audio.py — the
+    dead-air and broken-gain signals speech curation drops on):
+    integer-exact window energies against the ~1%-FS silence bound,
+    |v|==32767 clip counting, peak — Arrow-vectorized mapInPandas,
+    payload consumed in the projection. Runs on a dedicated
+    defect-structured pcm16 corpus whose generator ASSERTS the margins
+    (silent windows stay under the bound, loud windows clear it,
+    full-scale samples occur only in clipped bursts). The oracle
+    rebuilds every sample from hex(bytes) via the 256-row lookup join
+    and recomputes energies, counts, ratios and peak."""
+    from dedup_spark.multimodal.audio import audio_quality_report
+
+    return audio_quality_report(_fixture_audio_quality(spark))
+
+
+def _fixture_audio_quality(spark: SparkSession):
+    from dedup_spark.fixtures.materialize import (
+        fixture_audio_quality_parquet,
+    )
+
+    return spark.read.parquet(fixture_audio_quality_parquet())
+
+
 def _fixture_videos(spark: SparkSession):
     from dedup_spark.fixtures.materialize import fixture_videos_parquet
 
@@ -3282,7 +3306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # unicode_nfc_dedup, incremental_bloom_dedup, key_skew_profile,
     # line_dedup, edit1_name_pairs, lm_perplexity, token_entropy,
     # snm_name_pairs, video_scene_segments, url_dedup, bpe_merges,
-    # zipf_fit — positions 11-24), then the 19 last
+    # zipf_fit, audio_quality — positions 11-25), then the 19 last
     # driver-checked in round 3, then round-4-covered entries to fill
     # the window — so r4 + r5 artifacts jointly cover all 84
     # (containment_pairs, cc_clusters, cluster_safe_split,
@@ -3318,6 +3342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "bpe_merges": q_bpe_merges,
         "zipf_fit": q_zipf_fit,
+        "audio_quality": q_audio_quality,
         # --- last driver-checked in round 3 ---
         "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
@@ -3482,6 +3507,12 @@ nr AS (SELECT doc_id, sqrt(CAST(sum(cnt*cnt) AS DOUBLE)) AS nrm
 
     scene_fixture = f"read_parquet('{fixture_scene_videos_parquet()}')"
     aud_fixture = f"read_parquet('{fixture_audio_parquet()}')"
+    from dedup_spark.fixtures.av import SILENCE_ENERGY
+    from dedup_spark.fixtures.materialize import (
+        fixture_audio_quality_parquet,
+    )
+
+    audq_fixture = f"read_parquet('{fixture_audio_quality_parquet()}')"
     from dedup_spark.fixtures.materialize import fixture_avi_parquet
     from dedup_spark.multimodal.avi import (
         AVI_CHUNK,
@@ -5165,6 +5196,44 @@ WHERE round(ni / (s1.n + s2.n - ni), 6) >= 0.5
         # hex lookup join, int64 sum-of-squares per 256-sample window,
         # bit w-1 = energy[w] > energy[w-1], bit-packed with << — one
         # flipped sample anywhere fails the compare
+        # audio quality: rebuild every sample from hex(bytes) via the
+        # 256-row lookup, recompute window energies vs the inlined
+        # silence bound, |v|==32767 counts, ratios and peak
+        "audio_quality": f"""
+WITH hx AS (
+  SELECT audio_id, hex(bytes) AS h, n_samples AS n,
+         n_samples // 256 AS n_win
+  FROM {audq_fixture} WHERE n_samples >= 256
+),
+hb(hh, v) AS (VALUES {hex_byte_values}),
+s AS (
+  SELECT hx.audio_id, t.k, hi.v * 256 + lo.v AS uv, hx.n, hx.n_win
+  FROM hx CROSS JOIN generate_series(0, 8191) t(k)
+  JOIN hb lo ON lo.hh = substring(hx.h, 4*t.k+1, 2)
+  JOIN hb hi ON hi.hh = substring(hx.h, 4*t.k+3, 2)
+  WHERE t.k < hx.n
+),
+sv AS (SELECT audio_id, k, n, n_win,
+              CASE WHEN uv >= 32768 THEN uv - 65536 ELSE uv END AS v
+       FROM s),
+e AS (SELECT audio_id, k // 256 AS w,
+             sum(CAST(v AS BIGINT) * v) AS energy
+      FROM sv WHERE k < n_win * 256 GROUP BY audio_id, k // 256),
+sil AS (SELECT audio_id,
+               CAST(count(*) FILTER (WHERE energy < {SILENCE_ENERGY})
+                    AS BIGINT) AS n_silent
+        FROM e GROUP BY audio_id),
+cl AS (SELECT audio_id, any_value(n) AS n, any_value(n_win) AS n_win,
+              CAST(count(*) FILTER (WHERE abs(v) = 32767) AS BIGINT)
+                AS n_clipped,
+              CAST(max(abs(v)) AS BIGINT) AS peak
+       FROM sv GROUP BY audio_id)
+SELECT cl.audio_id, CAST(cl.n_win AS BIGINT) AS n_windows, sil.n_silent,
+       round(sil.n_silent * 1.0 / cl.n_win, 6) AS silence_ratio,
+       cl.n_clipped, round(cl.n_clipped * 1.0 / cl.n, 6) AS clip_ratio,
+       cl.peak
+FROM cl JOIN sil USING (audio_id)
+""",
         "audio_fingerprint_dups": f"""
 WITH hx AS (
   SELECT audio_id, hex(bytes) AS h, n_samples // 256 AS n_win

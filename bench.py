@@ -125,6 +125,9 @@ HEADLINE = [
     # round-5: Zipf rank-frequency fit (two-pass rank, exact decimal
     # regression sums)
     "zipf_fit",
+    # round-5: audio silence/clipping quality (Arrow mapInPandas on
+    # the defect-structured pcm16 corpus)
+    "audio_quality",
 ]
 
 

@@ -412,3 +412,82 @@ def generate_avi_corpus(
         rows, columns=["video_id", "bytes", "w", "h", "n_frames", "fmt"]
     )
     return AviCorpus(videos=videos, near_groups=groups)
+
+
+# ---------------------------------------------------------------------------
+# audio quality corpus (silence / clipping tier)
+# ---------------------------------------------------------------------------
+
+# a window is SILENT when its exact int64 sum-of-squares energy is
+# below this bound (~1% full-scale RMS: 256 * 327^2). Module constant
+# because the oracle inlines it.
+SILENCE_ENERGY = AUDIO_WINDOW * 327 * 327
+
+
+@dataclass
+class AudioQualityCorpus:
+    audio: pd.DataFrame  # AUDIO_SCHEMA columns
+    # ground truth per audio_id (for pytest; NOT written to parquet):
+    # (n_windows, n_silent, n_clipped, peak)
+    truth: dict[str, tuple[int, int, int, int]]
+
+
+def generate_audio_quality_corpus(
+    n_base: int = 30, seed: int = 44
+) -> AudioQualityCorpus:
+    """pcm16 clips with deliberate quality defects: per complete
+    window, the generator picks silent (zeros or sub-threshold noise),
+    clipped (loud content with a run of full-scale +/-32767 samples)
+    or normal-loud content, plus a ragged sub-window tail on some
+    clips. Construction guarantees the margins the tier thresholds on:
+    normal/clipped windows have energy >> SILENCE_ENERGY (amplitude
+    floor 5000), silent windows stay below it (amplitude cap 100), and
+    +/- full-scale samples occur ONLY in clipped windows (normal
+    amplitude cap 30000; -32768 is never generated, so peak stays
+    32767 and the clip test is exact)."""
+    rng = np.random.default_rng(seed)
+    rows: list[tuple] = []
+    truth: dict[str, tuple[int, int, int, int]] = {}
+    w = AUDIO_WINDOW
+    for i in range(n_base):
+        n_win = int(rng.integers(4, 17))
+        segs: list[np.ndarray] = []
+        n_silent = n_clipped = 0
+        for _ in range(n_win):
+            kind = rng.random()
+            if kind < 0.3:  # silent
+                if rng.random() < 0.5:
+                    seg = np.zeros(w, dtype=np.int64)
+                else:
+                    seg = rng.integers(-100, 101, w)
+                n_silent += 1
+            else:
+                mag = rng.integers(5_000, 30_001, w)
+                sign = rng.choice([-1, 1], w)
+                seg = mag * sign
+                if kind < 0.55:  # clipped burst inside loud content
+                    run = int(rng.integers(1, 9))
+                    at = int(rng.integers(0, w - run))
+                    seg[at : at + run] = 32767 * int(rng.choice([-1, 1]))
+                    n_clipped += run
+            segs.append(seg.astype(np.int64))
+        if rng.random() < 0.4:  # ragged tail (quiet — outside windows)
+            segs.append(rng.integers(-100, 101, int(rng.integers(1, w))))
+        samples = np.concatenate(segs).astype("<i2")
+        # construction invariants the tier's story depends on
+        e = window_energies(samples.astype(np.int64), w)
+        assert ((e < SILENCE_ENERGY).sum()) == n_silent
+        assert int(np.sum(np.abs(samples.astype(np.int64)) == 32767)) == n_clipped
+        aid = f"q_{i:04d}.pcm16"
+        rows.append((aid, samples.tobytes(), AUDIO_RATE, len(samples), "pcm16"))
+        truth[aid] = (
+            n_win,
+            n_silent,
+            n_clipped,
+            int(np.abs(samples.astype(np.int64)).max()),
+        )
+    audio = pd.DataFrame(
+        rows,
+        columns=["audio_id", "bytes", "sample_rate", "n_samples", "fmt"],
+    )
+    return AudioQualityCorpus(audio=audio, truth=truth)

@@ -150,6 +150,37 @@ def fixture_scene_videos_parquet(params: dict | None = None) -> str:
     return _write_atomic(table, out_dir, path)
 
 
+AUDIOQ_PARAMS = dict(n_base=30, seed=44)
+
+
+def fixture_audio_quality_parquet(params: dict | None = None) -> str:
+    """Pinned defect-structured pcm16 corpus (fixtures/av.py
+    generate_audio_quality_corpus) for the silence/clipping tier —
+    separate from the fingerprint corpus so its gates stay
+    untouched."""
+    import pyarrow as pa
+
+    from dedup_spark.fixtures.av import generate_audio_quality_corpus
+
+    params = dict(AUDIOQ_PARAMS if params is None else params)
+    out_dir = os.path.join(FIXTURE_ROOT, "audioq_" + _params_tag(params))
+    path = os.path.join(out_dir, "audio.parquet")
+    if os.path.exists(path):
+        return path
+    pdf = generate_audio_quality_corpus(**params).audio
+    table = pa.Table.from_arrays(
+        [
+            pa.array(pdf["audio_id"], type=pa.string()),
+            pa.array(pdf["bytes"], type=pa.binary()),
+            pa.array(pdf["sample_rate"], type=pa.int32()),
+            pa.array(pdf["n_samples"], type=pa.int32()),
+            pa.array(pdf["fmt"], type=pa.string()),
+        ],
+        names=["audio_id", "bytes", "sample_rate", "n_samples", "fmt"],
+    )
+    return _write_atomic(table, out_dir, path)
+
+
 def fixture_audio_parquet(params: dict | None = None) -> str:
     """Pinned pcm16 audio corpus (fixtures/av.py)."""
     import pyarrow as pa

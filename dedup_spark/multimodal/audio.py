@@ -37,6 +37,7 @@ group-by-content-hash (src/hasher.rs) to a perceptual audio key.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -109,4 +110,83 @@ def audio_fingerprint_clusters(
         "fingerprint",
         "cluster_id",
         "n_members",
+    )
+
+
+QUALITY_SCHEMA = (
+    "audio_id string, n_windows long, n_silent long, silence_ratio double,"
+    " n_clipped long, clip_ratio double, peak long"
+)
+
+
+def audio_quality_report(
+    df: DataFrame,
+    window: int = AUDIO_WINDOW,
+    silence_energy: int | None = None,
+    id_col: str = "audio_id",
+) -> DataFrame:
+    """Per-clip quality report — the silence/clipping signals speech
+    curation drops on (dead air, broken gain staging): (audio_id,
+    n_windows, n_silent, silence_ratio, n_clipped, clip_ratio, peak).
+
+    Definitions (integer-exact, so the DuckDB oracle recomputes every
+    value from hex(bytes) with zero float hazards):
+      * a complete `window`-sample window is SILENT iff its exact
+        int64 sum-of-squares energy < silence_energy (default
+        fixtures/av.SILENCE_ENERGY, ~1% full-scale RMS);
+      * a sample is CLIPPED iff |v| == 32767 (full-scale int16; the
+        fixture never emits -32768, keeping the test symmetric);
+      * window stats truncate the ragged tail (the fingerprint rule);
+        clip stats and peak run over ALL n_samples.
+    Ratios are single int/int divisions rounded to 6 dp. Clips shorter
+    than one complete window are dropped (no window stats exist),
+    mirroring the fingerprint tier's short-clip rule."""
+    from dedup_spark.fixtures.av import SILENCE_ENERGY
+
+    thr = SILENCE_ENERGY if silence_energy is None else silence_energy
+
+    def _round6(x: float) -> float:
+        # half-AWAY-from-zero on non-negative ratios: Python's round()
+        # is banker's and diverges from Spark/DuckDB on exact ties
+        # (8/1024 = 0.0078125 rounds to ...12 vs ...13)
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def _q(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: list[tuple] = []
+            for aid, data, n_samples in zip(
+                pdf[id_col], pdf["bytes"], pdf["n_samples"]
+            ):
+                if data is None:
+                    continue
+                n = int(n_samples)
+                if len(data) < 2 * n or n < window:
+                    continue
+                x = np.frombuffer(data, dtype="<i2", count=n).astype(np.int64)
+                n_win = n // window
+                head = x[: n_win * window]
+                e = (head * head).reshape(n_win, window).sum(axis=1)
+                n_silent = int((e < thr).sum())
+                n_clipped = int((np.abs(x) == 32767).sum())
+                out.append(
+                    (
+                        aid,
+                        n_win,
+                        n_silent,
+                        _round6(n_silent / n_win),
+                        n_clipped,
+                        _round6(n_clipped / n),
+                        int(np.abs(x).max()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    id_col, "n_windows", "n_silent", "silence_ratio",
+                    "n_clipped", "clip_ratio", "peak",
+                ],
+            )
+
+    return df.select(id_col, "bytes", "n_samples").mapInPandas(
+        _q, schema=QUALITY_SCHEMA
     )

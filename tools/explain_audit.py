@@ -663,6 +663,14 @@ def main() -> None:
         out,
     )
 
+    audit(
+        "audio_quality (Arrow-vectorized mapInPandas projection — "
+        "payload never in an exchange)",
+        e.queries()["audio_quality"](spark, sf),
+        ["map_in_pandas", "no_payload_in_exchange"],
+        out,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write("\n".join(out) + "\n")
     fails = sum(1 for line in out if line.startswith("- ❌"))
