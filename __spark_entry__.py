@@ -1167,6 +1167,76 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch HyperLogLog distinct-gram count
+    (operators/sketches.py): 256 max-combinable registers from a
+    60-bit md5 hash, rho via the minimal binary string (no float log),
+    INTEGER harmonic sum — the only doubles are the final division and
+    the small-range ln correction, so the oracle recomputes the
+    ESTIMATE bit-for-bit (the built-in sketch tier, sketch_stats, can
+    only be gated within advertised error; this one is gated exactly).
+    Output: exact distinct word-3-grams, the HLL estimate, rel_err,
+    zero-register count, correction flag."""
+    from dedup_spark.operators.sketches import hll_estimate, hll_registers
+
+    docs = _docs(spark, sf_dir).filter(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(2)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+    )
+    g = (
+        docs.filter(F.size(toks) >= 3)
+        .select(F.explode(grams).alias("key"))
+        .distinct()
+    )
+    est = hll_estimate(hll_registers(g))
+    exact = g.agg(F.count(F.lit(1)).cast("long").alias("exact_distinct"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "exact_distinct",
+        "hll_estimate",
+        F.round(
+            F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            6,
+        ).alias("rel_err"),
+        "n_zero_registers",
+        "small_range",
+    )
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters (operators/sketches.py): the
+    4x512 CMS table is ONE combinable aggregation over the token
+    stream (the scale substitute for exact per-key counts when the key
+    space doesn't fit); every distinct token is then point-estimated
+    as min over its 4 cells and compared against its exact count — the
+    one-sided guarantee estimate >= exact is part of the gated output
+    (overestimate column, always >= 0). The oracle rebuilds the table
+    cell-for-cell from the same md5 slices."""
+    from dedup_spark.operators.sketches import cms_point_estimates, cms_table
+
+    docs = _docs(spark, sf_dir).filter(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    stream = docs.select(F.explode(toks).alias("key"))
+    exact = stream.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("exact")
+    )
+    est = cms_point_estimates(cms_table(stream), exact.select("key"))
+    return exact.join(est, "key").select(
+        F.col("key").alias("token"),
+        "exact",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact")).cast("long").alias(
+            "overestimate"
+        ),
+    )
+
+
 BPE_K = 6  # tokenizer-induction depth for the gate
 
 
@@ -3306,7 +3376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # unicode_nfc_dedup, incremental_bloom_dedup, key_skew_profile,
     # line_dedup, edit1_name_pairs, lm_perplexity, token_entropy,
     # snm_name_pairs, video_scene_segments, url_dedup, bpe_merges,
-    # zipf_fit, audio_quality — positions 11-25), then the 19 last
+    # zipf_fit, audio_quality, hll_distinct, cms_heavy_hitters —
+    # positions 11-27), then the 19 last
     # driver-checked in round 3, then round-4-covered entries to fill
     # the window — so r4 + r5 artifacts jointly cover all 84
     # (containment_pairs, cc_clusters, cluster_safe_split,
@@ -3343,6 +3414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "zipf_fit": q_zipf_fit,
         "audio_quality": q_audio_quality,
+        "hll_distinct": q_hll_distinct,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         # --- last driver-checked in round 3 ---
         "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
@@ -3506,6 +3579,16 @@ nr AS (SELECT doc_id, sqrt(CAST(sum(cnt*cnt) AS DOUBLE)) AS nrm
     from dedup_spark.fixtures.materialize import fixture_scene_videos_parquet
 
     scene_fixture = f"read_parquet('{fixture_scene_videos_parquet()}')"
+    from dedup_spark.operators.sketches import (
+        CMS_D as _CMS_D,
+        CMS_W as _CMS_W,
+        HLL_ALPHA as _HLL_ALPHA,
+        HLL_M as _HLL_M,
+        HLL_P as _HLL_P,
+        HLL_SC as _HLL_SC,
+    )
+
+    _HLL_AMM = _HLL_ALPHA * _HLL_M * _HLL_M
     aud_fixture = f"read_parquet('{fixture_audio_parquet()}')"
     from dedup_spark.fixtures.av import SILENCE_ENERGY
     from dedup_spark.fixtures.materialize import (
@@ -4514,6 +4597,96 @@ SELECT doc_id, n_bigrams,
        round(ssum / 1000000.0 / n_bigrams, 6) AS avg_nll,
        round(exp(ssum / 1000000.0 / n_bigrams), 6) AS ppl
 FROM s
+""",
+        # HLL: rebuild the 256 registers (same md5 hash, same
+        # binary-string rho), the integer harmonic sum, and the
+        # identical final doubles
+        "hll_distinct": f"""
+WITH t AS (
+  SELECT {_TOKS} AS arr FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+),
+g AS (
+  SELECT DISTINCT array_to_string(arr[i : i + 2], ' ') AS key
+  FROM t, UNNEST(range(1, len(arr) - 3 + 2)) AS u(i)
+  WHERE len(arr) >= 3
+),
+h AS (SELECT ('0x' || substring(md5(key), 1, 15))::BIGINT AS hv FROM g),
+r AS (
+  SELECT CAST(hv % {_HLL_M} AS INT) AS idx,
+         CASE WHEN (hv >> {_HLL_P}) = 0 THEN {_HLL_SC}
+              ELSE {_HLL_SC} - length(bin(hv >> {_HLL_P})) END AS rho
+  FROM h
+),
+m AS (SELECT idx, max(rho) AS rho FROM r GROUP BY idx),
+s AS (
+  SELECT CAST(sum(1::BIGINT << ({_HLL_SC} - rho)) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS present
+  FROM m
+),
+c AS (
+  SELECT {_HLL_M} - present AS zeros,
+         s + ({_HLL_M} - present) * (1::BIGINT << {_HLL_SC}) AS s_full
+  FROM s
+),
+e AS (
+  SELECT zeros,
+         {_HLL_AMM!r} * CAST(1::BIGINT << {_HLL_SC} AS DOUBLE)
+           / CAST(s_full AS DOUBLE) AS e_raw
+  FROM c
+),
+f AS (
+  SELECT zeros, e_raw,
+         (e_raw <= {2.5 * _HLL_M!r} AND zeros > 0) AS small
+  FROM e
+),
+fin AS (
+  SELECT CASE WHEN small
+              THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / zeros)
+              ELSE e_raw END AS est,
+         zeros, small
+  FROM f
+),
+ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_distinct FROM g)
+SELECT ex.exact_distinct,
+       round(fin.est, 6) AS hll_estimate,
+       round(abs(round(fin.est, 6) - ex.exact_distinct)
+             / ex.exact_distinct, 6) AS rel_err,
+       CAST(fin.zeros AS BIGINT) AS n_zero_registers,
+       fin.small AS small_range
+FROM fin, ex
+""",
+        # CMS: rebuild the 4x512 table cell-for-cell from the same
+        # md5 slices, min-over-rows estimates, one-sided overestimate
+        "cms_heavy_hitters": f"""
+WITH t AS (
+  SELECT {_TOKS} AS arr FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+),
+tok AS (SELECT u.tk AS key FROM t, UNNEST(arr) AS u(tk)),
+ex AS (SELECT key, CAST(count(*) AS BIGINT) AS exact FROM tok GROUP BY key),
+cells AS (
+  SELECT d.d AS row,
+         CAST(('0x' || substring(md5(key), 1 + 8*d.d, 8))::BIGINT
+              % {_CMS_W} AS INT) AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM tok CROSS JOIN generate_series(0, {_CMS_D - 1}) d(d)
+  GROUP BY 1, 2
+),
+probe AS (
+  SELECT ex.key, d.d AS row,
+         CAST(('0x' || substring(md5(ex.key), 1 + 8*d.d, 8))::BIGINT
+              % {_CMS_W} AS INT) AS bucket
+  FROM ex CROSS JOIN generate_series(0, {_CMS_D - 1}) d(d)
+),
+est AS (
+  SELECT p.key, CAST(min(c.cnt) AS BIGINT) AS cms_estimate
+  FROM probe p JOIN cells c ON c.row = p.row AND c.bucket = p.bucket
+  GROUP BY p.key
+)
+SELECT ex.key AS token, ex.exact, est.cms_estimate,
+       CAST(est.cms_estimate - ex.exact AS BIGINT) AS overestimate
+FROM ex JOIN est USING (key)
 """,
         # Zipf fit: rank via a plain row_number window (vs the
         # engine's two-pass range rank), identical fixed-point terms,

@@ -128,6 +128,9 @@ HEADLINE = [
     # round-5: audio silence/clipping quality (Arrow mapInPandas on
     # the defect-structured pcm16 corpus)
     "audio_quality",
+    # round-5: from-scratch HLL + count-min (exactly-gated sketches)
+    "hll_distinct",
+    "cms_heavy_hitters",
 ]
 
 

@@ -94,6 +94,8 @@ TEXT_QUERIES = [
     "url_dedup",
     "bpe_merges",
     "zipf_fit",
+    "hll_distinct",
+    "cms_heavy_hitters",
 ]
 
 # round-5 additions (VERDICT r4 item 4): the round-4 query classes that

@@ -671,6 +671,22 @@ def main() -> None:
         out,
     )
 
+    audit(
+        "hll_distinct (one combinable register agg, integer harmonic "
+        "sum, pure JVM)",
+        e.queries()["hll_distinct"](spark, sf),
+        ["wholestage_codegen", "no_python_udf", "no_expand",
+         "broadcast_join"],
+        out,
+    )
+    audit(
+        "cms_heavy_hitters (one combinable 4x512 cell agg + cell "
+        "lookups, pure JVM)",
+        e.queries()["cms_heavy_hitters"](spark, sf),
+        ["wholestage_codegen", "no_python_udf", "no_expand"],
+        out,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write("\n".join(out) + "\n")
     fails = sum(1 for line in out if line.startswith("- ❌"))
