@@ -1237,6 +1237,29 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AES_K = 50  # weighted-sample size
+AES_SEED = "aes-0"
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-ES, operators/assembly.py): key = u^(1/w) with u from
+    md5(seed||id) — deterministic, resumable, weight-proportional;
+    selection is orderBy(key desc).limit(k) = TakeOrderedAndProject
+    (per-partition top-k heaps, never a global sort — plan-audited).
+    Weights are n_chars; the oracle recomputes every key with the
+    identical ln/exp composition and takes the same top-50."""
+    from dedup_spark.operators.assembly import weighted_sample_keys
+
+    return weighted_sample_keys(
+        _docs(spark, sf_dir),
+        id_col="doc_id",
+        weight_col="n_chars",
+        seed=AES_SEED,
+        k=AES_K,
+    )
+
+
 BPE_K = 6  # tokenizer-induction depth for the gate
 
 
@@ -3376,8 +3399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # unicode_nfc_dedup, incremental_bloom_dedup, key_skew_profile,
     # line_dedup, edit1_name_pairs, lm_perplexity, token_entropy,
     # snm_name_pairs, video_scene_segments, url_dedup, bpe_merges,
-    # zipf_fit, audio_quality, hll_distinct, cms_heavy_hitters —
-    # positions 11-27), then the 19 last
+    # zipf_fit, audio_quality, hll_distinct, cms_heavy_hitters,
+    # weighted_sample — positions 11-28), then the 19 last
     # driver-checked in round 3, then round-4-covered entries to fill
     # the window — so r4 + r5 artifacts jointly cover all 84
     # (containment_pairs, cc_clusters, cluster_safe_split,
@@ -3416,6 +3439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_quality": q_audio_quality,
         "hll_distinct": q_hll_distinct,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "weighted_sample": q_weighted_sample,
         # --- last driver-checked in round 3 ---
         "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
@@ -4597,6 +4621,23 @@ SELECT doc_id, n_bigrams,
        round(ssum / 1000000.0 / n_bigrams, 6) AS avg_nll,
        round(exp(ssum / 1000000.0 / n_bigrams), 6) AS ppl
 FROM s
+""",
+        # A-ES weighted sample: recompute every u^(1/w) key with the
+        # identical ln/exp composition, same top-k + tie-break
+        "weighted_sample": f"""
+WITH b AS (
+  SELECT doc_id, n_chars,
+         ('0x' || substring(md5('{AES_SEED}:' || doc_id), 1, 15))::BIGINT
+           AS h
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+),
+s AS (
+  SELECT doc_id, n_chars,
+         exp(ln((h + 1) / 1152921504606846976.0) / n_chars) AS sc
+  FROM b
+)
+SELECT doc_id, n_chars AS weight, round(sc, 6) AS score
+FROM s ORDER BY sc DESC, doc_id ASC LIMIT {AES_K}
 """,
         # HLL: rebuild the 256 registers (same md5 hash, same
         # binary-string rho), the integer harmonic sum, and the

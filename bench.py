@@ -131,6 +131,8 @@ HEADLINE = [
     # round-5: from-scratch HLL + count-min (exactly-gated sketches)
     "hll_distinct",
     "cms_heavy_hitters",
+    # round-5: A-ES weighted sampling (seeded u^(1/w) keys, top-k)
+    "weighted_sample",
 ]
 
 

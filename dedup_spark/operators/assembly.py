@@ -145,3 +145,49 @@ def source_mixing_weights(
             F.round(F.pow("share", alpha) / F.col("_z"), 6).alias("mix_weight"),
         )
     )
+
+
+def weighted_sample_keys(
+    df: DataFrame,
+    *,
+    id_col: str,
+    weight_col: str,
+    seed: str,
+    k: int,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006, algorithm A-ES): give every record the key u^(1/w) for a
+    uniform u in (0,1] and keep the k largest keys — provably a
+    weight-proportional sample without replacement, and because u
+    comes from md5(seed || id) (not rand()) the selection is
+    deterministic, resumable, and auditable per record.
+
+    u = (h + 1) / 2^60 from the 60-bit md5 prefix (never 0, so ln(u)
+    is finite); the key is computed as exp(ln(u)/w) — the SAME
+    ln/exp composition the oracle uses, keeping the doubles identical
+    cross-engine. Selection is an orderBy(key desc).limit(k), which
+    Spark executes as TakeOrderedAndProject: per-partition top-k
+    heaps merged on the driver — k rows cross the wire per partition,
+    never a global sort (plan-audited).
+
+    Returns (id, weight, score) for the k selected records, score
+    rounded to 6 dp. Rows with NULL or non-positive weight are
+    excluded (u^(1/w) is undefined there — the A-ES contract).
+    """
+    h = F.conv(
+        F.substring(shuffle_key(F.col(id_col), seed), 1, 15), 16, 10
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    w = F.col(weight_col).cast("double")
+    score = F.exp(F.log(u) / w)
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .select(
+            id_col,
+            F.col(weight_col).alias("weight"),
+            score.alias("_score"),
+        )
+        .orderBy(F.col("_score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "weight", F.round(F.col("_score"), 6).alias("score"))
+    )

@@ -96,6 +96,7 @@ TEXT_QUERIES = [
     "zipf_fit",
     "hll_distinct",
     "cms_heavy_hitters",
+    "weighted_sample",
 ]
 
 # round-5 additions (VERDICT r4 item 4): the round-4 query classes that

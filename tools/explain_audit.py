@@ -61,6 +61,9 @@ CHECKS = {
     # rank-filtered windows must run as WindowGroupLimit (per-partition
     # partial top-k BEFORE the shuffle), not a full per-partition sort
     "window_group_limit": lambda p: "WindowGroupLimit" in p,
+    # top-k selection must run as TakeOrderedAndProject (per-partition
+    # heaps merged on the driver), never a global Sort
+    "take_ordered": lambda p: "TakeOrderedAndProject" in p,
     # blocked pair-mining must plan as an equi-join on the blocking
     # key, never a cartesian with the verifier in the condition
     "no_cartesian": lambda p: "CartesianProduct" not in p
@@ -684,6 +687,14 @@ def main() -> None:
         "lookups, pure JVM)",
         e.queries()["cms_heavy_hitters"](spark, sf),
         ["wholestage_codegen", "no_python_udf", "no_expand"],
+        out,
+    )
+
+    audit(
+        "weighted_sample (A-ES keys, TakeOrderedAndProject top-k — "
+        "never a global sort, pure JVM)",
+        e.queries()["weighted_sample"](spark, sf),
+        ["wholestage_codegen", "no_python_udf", "take_ordered"],
         out,
     )
 
