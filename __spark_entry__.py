@@ -1237,6 +1237,63 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-language document detection — the curation signal that
+    decides whether a doc is dropped, kept, or SPLIT (code-switching
+    pages, boilerplate in a second language): classify every
+    fixed-width token line with the marker-argmax language ID, then
+    per doc report line counts, the dominant language (most lines,
+    alphabetical tie), the distinct-language count and a mixed flag.
+    The corpus is monolingual word soup, so docs deterministically
+    gain German (doc_id%3==0) and French (doc_id%5==0) marker
+    sentences — docs hitting both rules are genuinely tri-lingual at
+    line level. Shape: one explode + per-line projection + two
+    combinable aggregations; the oracle recomputes the chunking, every
+    per-line marker score and argmax, and the aggregation."""
+    from dedup_spark.operators.linededup import split_token_lines
+
+    docs = _docs(spark, sf_dir)
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit(" der die und das ist der die und das ist"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit(" le la et les est le la et les est"),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    lines = split_token_lines(aug, width=LINE_W).withColumn(
+        "lang", TX.lang_id(F.col("line"))
+    )
+    counts = lines.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    isl = F.col("lang") != "und"
+    agg = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_lines"),
+        F.sum(F.when(isl, F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_lang_lines"),
+        F.count(F.when(isl, F.lit(1))).cast("long").alias("n_langs"),
+        F.min(
+            F.when(isl, F.struct((-F.col("c")).alias("nc"), F.col("lang")))
+        ).alias("_d"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_lines",
+        "n_lang_lines",
+        F.coalesce(F.col("_d.lang"), F.lit("und")).alias("dominant_lang"),
+        "n_langs",
+        (F.col("n_langs") >= 2).alias("mixed"),
+    )
+
+
 AES_K = 50  # weighted-sample size
 AES_SEED = "aes-0"
 
@@ -3400,7 +3457,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # line_dedup, edit1_name_pairs, lm_perplexity, token_entropy,
     # snm_name_pairs, video_scene_segments, url_dedup, bpe_merges,
     # zipf_fit, audio_quality, hll_distinct, cms_heavy_hitters,
-    # weighted_sample — positions 11-28), then the 19 last
+    # weighted_sample, lang_segmentation — positions 11-29), then the
+    # 19 last
     # driver-checked in round 3, then round-4-covered entries to fill
     # the window — so r4 + r5 artifacts jointly cover all 84
     # (containment_pairs, cc_clusters, cluster_safe_split,
@@ -3440,6 +3498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "weighted_sample": q_weighted_sample,
+        "lang_segmentation": q_lang_segmentation,
         # --- last driver-checked in round 3 ---
         "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
@@ -3673,6 +3732,21 @@ nr AS (SELECT doc_id, sqrt(CAST(sum(cnt*cnt) AS DOUBLE)) AS nrm
         rest = [f"s_{lang} >= s_{other}" for other in langs[i + 1 :]]
         cond = " AND ".join(rest) if rest else "TRUE"
         lang_cases.append(f"WHEN {cond} THEN '{lang}'")
+
+    # per-LINE variant of the marker scores (same words, over a `line`
+    # column) for the segmentation oracle
+    def _line_marker(w: str) -> str:
+        w2 = w.replace("'", "''")
+        return (
+            "len(list_filter(regexp_split_to_array(line, '\\s+'),"
+            f" x -> x = '{w2}'))"
+        )
+
+    line_scores = ", ".join(
+        " + ".join(_line_marker(w) for w in TX.LANG_MARKERS[lang])
+        + f" AS s_{lang}"
+        for lang in langs
+    )
 
     return {
         "exact_dup_clusters": _ORACLE_EXACT_GROUPS
@@ -4621,6 +4695,62 @@ SELECT doc_id, n_bigrams,
        round(ssum / 1000000.0 / n_bigrams, 6) AS avg_nll,
        round(exp(ssum / 1000000.0 / n_bigrams), 6) AS ppl
 FROM s
+""",
+        # language segmentation: recompute the augmented text, the
+        # chunking, every per-line marker score and argmax, and the
+        # dominant/mixed aggregation
+        "lang_segmentation": f"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' der die und das ist der die und das ist'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' le la et les est le la et les est'
+                 ELSE '' END AS text
+  FROM documents
+),
+t AS (
+  SELECT doc_id, {_TOKS} AS arr FROM aug
+  WHERE text IS NOT NULL AND trim(text) <> ''
+),
+l AS (
+  SELECT doc_id,
+         array_to_string(arr[(i*{LINE_W}+1):(i*{LINE_W}+{LINE_W})], ' ')
+           AS line
+  FROM t, UNNEST(range(0, CAST(ceil(len(arr) / {LINE_W}.0) AS BIGINT)))
+         AS u(i)
+),
+s AS (SELECT doc_id, {line_scores} FROM l),
+cl AS (
+  SELECT doc_id,
+         CASE WHEN {" AND ".join(f"s_{lang} <= 0" for lang in langs)}
+              THEN 'und'
+         {" ".join(lang_cases)}
+         ELSE 'zh' END AS lang
+  FROM s
+),
+c AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS c
+      FROM cl GROUP BY 1, 2),
+dom AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY c DESC, lang ASC) AS rn
+  FROM c WHERE lang <> 'und'
+),
+a AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+         CAST(coalesce(sum(c) FILTER (WHERE lang <> 'und'), 0) AS BIGINT)
+           AS n_lang_lines,
+         CAST(count(*) FILTER (WHERE lang <> 'und') AS BIGINT) AS n_langs
+  FROM c GROUP BY doc_id
+)
+SELECT a.doc_id, a.n_lines, a.n_lang_lines,
+       coalesce(d.lang, 'und') AS dominant_lang,
+       a.n_langs, a.n_langs >= 2 AS mixed
+FROM a LEFT JOIN (SELECT doc_id, lang FROM dom WHERE rn = 1) d
+  USING (doc_id)
 """,
         # A-ES weighted sample: recompute every u^(1/w) key with the
         # identical ln/exp composition, same top-k + tie-break

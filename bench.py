@@ -133,6 +133,8 @@ HEADLINE = [
     "cms_heavy_hitters",
     # round-5: A-ES weighted sampling (seeded u^(1/w) keys, top-k)
     "weighted_sample",
+    # round-5: per-line language segmentation (mixed-doc detection)
+    "lang_segmentation",
 ]
 
 

@@ -97,6 +97,7 @@ TEXT_QUERIES = [
     "hll_distinct",
     "cms_heavy_hitters",
     "weighted_sample",
+    "lang_segmentation",
 ]
 
 # round-5 additions (VERDICT r4 item 4): the round-4 query classes that

@@ -698,6 +698,14 @@ def main() -> None:
         out,
     )
 
+    audit(
+        "lang_segmentation (explode + per-line projection + two "
+        "combinable aggs, pure JVM)",
+        e.queries()["lang_segmentation"](spark, sf),
+        ["wholestage_codegen", "no_python_udf", "no_expand"],
+        out,
+    )
+
     with open("PLANS.md", "w") as f:
         f.write("\n".join(out) + "\n")
     fails = sum(1 for line in out if line.startswith("- ❌"))
