@@ -2972,6 +2972,31 @@ def q_rescale_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return thumbprint_clusters(df.drop("src_id"))
 
 
+def q_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brightness/rescale-invariant image dedup (multimodal/dhash.py
+    dhash_clusters): the same image stored brightness-shifted (+15 /
+    −12, SAME byte length) and 2×-replication-rescaled collapses into
+    one cluster via the 9×8 difference hash — the duplicate class that
+    byte dedup, the (phash, length) stage-1 pre-group (shifted
+    variants keep the length), pixel-sha dedup AND the thumbprint tier
+    (every point-sampled VALUE moves under a shift) all miss. dHash
+    compares adjacent block means as exact integer cross-products, so
+    a uniform shift cancels and a composing 2× replication scales both
+    sides equally — bit-exact invariance, making the 64-bit-equality
+    cluster gate deterministic (the fixture generator ASSERTS no
+    saturation, per-source hash agreement, and cross-source hash
+    distinctness, so cluster == source is construction, not luck).
+    The oracle pins the full value-checked assignment as min(image_id)
+    per SOURCE, which the engine must reproduce from pixels alone (it
+    never sees src_id). A drifted decoder, block-boundary rule, or
+    comparison direction breaks the match."""
+    from dedup_spark.fixtures.materialize import fixture_dhash_parquet
+    from dedup_spark.multimodal.dhash import dhash_clusters
+
+    df = spark.read.parquet(fixture_dhash_parquet())
+    return dhash_clusters(df.drop("src_id"))
+
+
 def q_multimodal_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-star 3-stage engine as ONE artifact over the
     input_hint image+caption corpus (BASELINE.json north_star):
@@ -3499,6 +3524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "weighted_sample": q_weighted_sample,
         "lang_segmentation": q_lang_segmentation,
+        "dhash_dedup": q_dhash_dedup,
         # --- last driver-checked in round 3 ---
         "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
@@ -3695,6 +3721,9 @@ nr AS (SELECT doc_id, sqrt(CAST(sum(cnt*cnt) AS DOUBLE)) AS nrm
 
     rescale_fixture = f"read_parquet('{fixture_rescale_parquet()}')"
     exif_fixture = f"read_parquet('{fixture_exif_parquet()}')"
+    from dedup_spark.fixtures.materialize import fixture_dhash_parquet
+
+    dhash_fixture = f"read_parquet('{fixture_dhash_parquet()}')"
     from dedup_spark.fixtures.materialize import (
         fixture_orientation_parquet,
         fixture_quality_parquet,
@@ -4056,6 +4085,17 @@ GROUP BY cm.video_id
 SELECT image_id, TRUE AS ok,
        min(image_id) OVER (PARTITION BY src_id) AS cluster_id
 FROM {rescale_fixture}
+""",
+        # brightness/rescale-invariant dHash dedup: exact-integer
+        # cross-product comparisons cancel uniform shifts and composing
+        # 2x replications (9 | w, 8 | h), and the generator asserts
+        # per-source agreement + cross-source distinctness — so the
+        # engine's pixel-derived clusters must equal min(image_id) per
+        # SOURCE (it never sees src_id)
+        "dhash_dedup": f"""
+SELECT image_id, TRUE AS ok,
+       min(image_id) OVER (PARTITION BY src_id) AS cluster_id
+FROM {dhash_fixture}
 """,
         "phash_hamming_pairs": f"""
 SELECT a.image_id AS id1, b.image_id AS id2,

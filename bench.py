@@ -135,6 +135,9 @@ HEADLINE = [
     "weighted_sample",
     # round-5: per-line language segmentation (mixed-doc detection)
     "lang_segmentation",
+    # round-5: brightness/rescale-invariant dHash dedup (pinned
+    # fixture, sf-independent like the other image queries)
+    "dhash_dedup",
 ]
 
 

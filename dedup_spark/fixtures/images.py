@@ -442,3 +442,60 @@ def generate_rescale_corpus(
     return pd.DataFrame(
         rows, columns=["image_id", "src_id", "bytes", "w", "h", "fmt"]
     )
+
+
+DHASH_DIMS = (36, 32)  # cols=9 | 36, rows=8 | 32 — the grid composes
+
+
+def generate_dhash_corpus(
+    n_src: int = 40, seed: int = 11, dims: tuple[int, int] = DHASH_DIMS
+) -> pd.DataFrame:
+    """Brightness-shifted + replication-rescaled variants of each
+    source image — the dHash-dedup fixture (multimodal/dhash.py).
+
+    Per source: the 36×32 base, a +15 brightness shift, a 2× pixel
+    replication (72×64), and a 2× replication shifted −12. Every
+    variant differs from the base in bytes; the shifts keep the same
+    length (so (hash, length) stage-1 still can't pre-group them) and
+    the replications change dims — yet all four share one exact dHash
+    because the grid composes (9 | w, 8 | h) and shifts cancel in the
+    cross-product (see dhash_bits).
+
+    The story cannot silently rot: generation ASSERTS (a) the base is
+    clipped into [32, 223] so the +15/−12 shifts never saturate (a
+    clamp would break exact invariance), (b) all four variants of a
+    source share one dHash, and (c) the 40 source dHashes are pairwise
+    distinct, so cluster == source is ground truth, not probability.
+    Columns: (image_id, src_id, bytes, w, h, fmt='ppm')."""
+    from dedup_spark.multimodal.dhash import dhash_bits
+
+    w, h = dims
+    rows = []
+    seen: dict[int, str] = {}
+    for i in range(n_src):
+        sid = f"d{i:04d}"
+        base = np.clip(
+            _smooth_image(f"{seed}:{sid}".encode(), w, h), 32, 223
+        ).astype(np.int64)
+        rep = np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)
+        variants = (
+            ("b0", base),
+            ("b1", base + 15),
+            ("r2", rep),
+            ("r2m", rep - 12),
+        )
+        hashes = set()
+        for tag, px in variants:
+            assert px.min() >= 0 and px.max() <= 255, "shift saturated"
+            u8 = px.astype(np.uint8)
+            hashes.add(dhash_bits(u8))
+            rows.append(
+                (f"{sid}#{tag}", sid, encode_ppm(u8), u8.shape[1], u8.shape[0], "ppm")
+            )
+        assert len(hashes) == 1, f"variants of {sid} diverged: {hashes}"
+        (hv,) = hashes
+        assert hv is not None and hv not in seen, f"{sid} collides with {seen.get(hv)}"
+        seen[hv] = sid
+    return pd.DataFrame(
+        rows, columns=["image_id", "src_id", "bytes", "w", "h", "fmt"]
+    )

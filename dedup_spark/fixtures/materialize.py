@@ -372,6 +372,37 @@ def fixture_rescale_parquet(params: dict | None = None) -> str:
     return _write_atomic(table, out_dir, path)
 
 
+DHASH_PARAMS = dict(n_src=40, seed=11)
+
+
+def fixture_dhash_parquet(params: dict | None = None) -> str:
+    """Pinned brightness/rescale-variant image corpus
+    (fixtures/images.py generate_dhash_corpus) — the dHash-dedup
+    golden file."""
+    import pyarrow as pa
+
+    from dedup_spark.fixtures.images import generate_dhash_corpus
+
+    params = dict(DHASH_PARAMS if params is None else params)
+    out_dir = os.path.join(FIXTURE_ROOT, "dhash_" + _params_tag(params))
+    path = os.path.join(out_dir, "dhash.parquet")
+    if os.path.exists(path):
+        return path
+    pdf = generate_dhash_corpus(**params)
+    table = pa.Table.from_arrays(
+        [
+            pa.array(pdf["image_id"], type=pa.string()),
+            pa.array(pdf["src_id"], type=pa.string()),
+            pa.array(pdf["bytes"], type=pa.binary()),
+            pa.array(pdf["w"], type=pa.int32()),
+            pa.array(pdf["h"], type=pa.int32()),
+            pa.array(pdf["fmt"], type=pa.string()),
+        ],
+        names=["image_id", "src_id", "bytes", "w", "h", "fmt"],
+    )
+    return _write_atomic(table, out_dir, path)
+
+
 AVI_PARAMS = dict(n_base=30, every_n=2, seed=42)
 
 

@@ -511,6 +511,15 @@ def main() -> None:
         out,
     )
     audit(
+        "dhash_dedup (dHash projection, long-keyed groupBy — the "
+        "8-byte hash is the only image-derived column in an Exchange; "
+        "the Arrow decode stage sits behind the localCheckpoint "
+        "lineage cut, like the thumbprint tier)",
+        e.queries()["dhash_dedup"](spark, sf),
+        ["no_payload_in_exchange", "no_expand"],
+        out,
+    )
+    audit(
         "bm25_topk (posting join + decimal sums, JVM-only, no Expand)",
         e.queries()["bm25_topk"](spark, sf),
         ["wholestage_codegen", "no_python_udf", "no_expand",
