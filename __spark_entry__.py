@@ -48,7 +48,11 @@ from dedup_spark.functions.pii import (
     PHONE_PATTERN as PII_PHONE,
 )
 from dedup_spark.operators.canonical import with_canonical
-from dedup_spark.operators.components import clusters_from_pairs, connected_components
+from dedup_spark.operators.components import (
+    clusters_from_pairs,
+    connected_components,
+    incremental_cc_update,
+)
 from dedup_spark.operators.embeddings import ann_verified_pairs, cosine_scores_gemm
 from dedup_spark.operators.exact import duplicate_stats, exact_duplicate_clusters
 from dedup_spark.operators.minhash import minhash_near_duplicates
@@ -646,6 +650,49 @@ def q_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id1", "id2")
     cc = connected_components(edges)
     return cc.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+def q_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected components (components.py
+    incremental_cc_update) — the daily-crawl batch folded into
+    yesterday's cluster table WITHOUT re-clustering the corpus.
+
+    Split: docs with doc_id % 4 == 3 are "today's crawl". Phase 1
+    clusters the old corpus from old-old edges (the already-gated
+    cc_clusters path, singletons self-clustered). Phase 2 folds in
+    every edge touching a new doc via the contracted-graph update: new
+    endpoints root to themselves, old endpoints to their phase-1
+    cluster root; the star loop runs on that batch-sized graph only,
+    and the corpus table is remapped by one broadcast join on the old
+    root. The edge set is computed ONCE on the full corpus (same
+    exact-Jaccard tier and posting cap as cc_clusters) so old ∪ new
+    edges is exactly the one-shot edge set — which is the gate: the
+    oracle knows nothing about phases and recomputes the ONE-SHOT
+    transitive closure over all docs (recursive CTE + singleton
+    complement); the two-phase engine result must equal it row for
+    row, including old clusters merged transitively THROUGH a new doc
+    and relabeled roots when a new doc_id undercuts an old minimum."""
+    docs = _docs(spark, sf_dir)
+    edges = exact_jaccard_pairs(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        threshold=JACCARD_T,
+        min_tokens=K,
+        max_posting=POSTING_CAP,
+    ).select("id1", "id2")
+    new_pred = F.col("doc_id") % 4 == 3
+    old_docs = docs.filter(~new_pred).select("doc_id")
+    new_docs = docs.filter(new_pred).select("doc_id")
+    old_edges = edges.filter((F.col("id1") % 4 != 3) & (F.col("id2") % 4 != 3))
+    new_edges = edges.filter((F.col("id1") % 4 == 3) | (F.col("id2") % 4 == 3))
+    assign0 = clusters_from_pairs(
+        old_edges, all_ids=old_docs, id_col="doc_id"
+    ).withColumnRenamed("doc_id", "id")
+    final = incremental_cc_update(
+        assign0, new_edges, new_ids=new_docs.select(F.col("doc_id").alias("id"))
+    )
+    return final.select(F.col("id").alias("doc_id"), "cluster_id")
 
 
 SPLIT_A, SPLIT_MOD = 2654435761, 1 << 31  # Knuth multiplicative hash
@@ -3525,6 +3572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "lang_segmentation": q_lang_segmentation,
         "dhash_dedup": q_dhash_dedup,
+        "incremental_cc": q_incremental_cc,
         # --- last driver-checked in round 3 ---
         "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
@@ -4435,6 +4483,34 @@ SELECT g.doc_id,
              * 1.0 / count(*), 6) AS novelty
 FROM g JOIN fst USING (gram)
 GROUP BY 1
+""",
+        # incremental CC: the oracle knows nothing about the engine's
+        # two-phase (old corpus + crawl batch) split — it recomputes
+        # the ONE-SHOT transitive closure over all docs with the
+        # singleton complement; the contracted-graph increment must
+        # reproduce it exactly
+        "incremental_cc": _ORACLE_SHINGLE_PAIRS_CAPPED.replace(
+            "WITH t AS", "WITH RECURSIVE t AS", 1
+        )
+        + f""",
+e AS (
+  SELECT id1 AS a, id2 AS b FROM scored
+  WHERE inter / (n1 + n2 - inter) >= {JACCARD_T}
+),
+sym AS (
+  SELECT a, b FROM e UNION SELECT b, a FROM e
+  UNION SELECT a, a FROM e UNION SELECT b, b FROM e
+),
+reach(src, dst) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.src, y.b FROM reach r JOIN sym y ON r.dst = y.a
+)
+SELECT d.doc_id,
+       coalesce(c.cluster_id, d.doc_id) AS cluster_id
+FROM documents d
+LEFT JOIN (SELECT src AS doc_id, min(dst) AS cluster_id
+           FROM reach GROUP BY src) c ON c.doc_id = d.doc_id
 """,
         # cluster-size histogram: same closure + the singleton
         # complement, then the double aggregation

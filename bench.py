@@ -138,6 +138,9 @@ HEADLINE = [
     # round-5: brightness/rescale-invariant dHash dedup (pinned
     # fixture, sf-independent like the other image queries)
     "dhash_dedup",
+    # round-5: incremental CC (two-phase crawl split + contracted-graph
+    # batch update over the cc_clusters edge tier)
+    "incremental_cc",
 ]
 
 

@@ -187,3 +187,86 @@ def clusters_from_pairs(
     return merged.withColumn(
         "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
     )
+
+
+def incremental_cc_update(
+    assign: DataFrame,
+    new_edges: DataFrame,
+    new_ids: DataFrame | None = None,
+    id_col: str = "id",
+    cfg: DedupConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Fold a batch of NEW edges (and optionally new nodes) into an
+    existing ``(id, cluster_id)`` assignment WITHOUT re-clustering the
+    corpus — the daily-crawl increment (the batch analog of
+    streaming/incremental.py's exact-hash state table, generalized to
+    transitive near-dup edges).
+
+    Contract: the result equals ``connected_components`` over (the
+    edge set the assignment summarizes) ∪ ``new_edges``, with min-id
+    roots. Correct because the old assignment is a star forest whose
+    roots ARE the old component minima: contracting each new edge's
+    endpoints to their current roots (unknown ids root to themselves)
+    preserves reachability, and the contracted graph's min-id labels
+    equal the merged components' minima (min over a union of old
+    clusters is the min over their old roots and any new ids).
+
+    Scale shape — the reason to ever do this instead of re-running CC:
+      * the star loop runs on the CONTRACTED batch graph only —
+        O(new edges) rows, never O(corpus);
+      * the corpus-sized ``assign`` table is touched by exactly ONE
+        equi-join on ``cluster_id`` against the batch-sized root remap
+        (broadcast below the autoBroadcast threshold — AQE picks the
+        strategy from the REAL post-CC size at runtime, so a pathological
+        batch that merges most of the corpus degrades to a shuffle join
+        instead of OOMing the driver);
+      * applying the same batch twice is a no-op by construction
+        (already-merged endpoints contract to one root → self-loop →
+        dropped; empty contracted graph → empty remap), giving
+        at-least-once replay safety like the Bloom state table.
+
+    ``new_ids``: ids introduced by the batch (one ``id_col`` column);
+    covers isolated new nodes that appear in no edge. Ids only seen in
+    ``new_edges`` are included automatically.
+    """
+    rm = "_new_root"
+    a1 = assign.select(F.col(id_col).alias("id1"), F.col("cluster_id").alias("r1"))
+    a2 = assign.select(F.col(id_col).alias("id2"), F.col("cluster_id").alias("r2"))
+    contracted = (
+        new_edges.select("id1", "id2")
+        .join(a1, "id1", "left")
+        .join(a2, "id2", "left")
+        .select(
+            F.coalesce("r1", F.col("id1")).alias("id1"),
+            F.coalesce("r2", F.col("id2")).alias("id2"),
+        )
+        .filter(F.col("id1") != F.col("id2"))
+    )
+    # (old root | new id) -> merged-component min id; batch-sized
+    remap = connected_components(contracted, cfg).select(
+        F.col("id").alias("_old_root"), F.col("cluster_id").alias(rm)
+    ).localCheckpoint(eager=True)
+
+    updated = (
+        assign.join(remap, assign["cluster_id"] == F.col("_old_root"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(rm, "cluster_id").alias("cluster_id"),
+        )
+    )
+
+    batch_nodes = new_edges.select(F.col("id1").alias(id_col)).unionByName(
+        new_edges.select(F.col("id2").alias(id_col))
+    )
+    if new_ids is not None:
+        batch_nodes = batch_nodes.unionByName(new_ids.select(F.col(id_col)))
+    fresh = (
+        batch_nodes.distinct()
+        .join(assign.select(id_col), id_col, "left_anti")
+        .join(remap, F.col(id_col) == F.col("_old_root"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(rm, F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    return updated.unionByName(fresh)

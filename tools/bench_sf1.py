@@ -98,6 +98,10 @@ TEXT_QUERIES = [
     "cms_heavy_hitters",
     "weighted_sample",
     "lang_segmentation",
+    # round-5 session-5: incremental CC — the scale claim IS the sf1
+    # story (phase-1 CC grows with the corpus like cc_clusters; the
+    # increment's star loop only sees the contracted batch graph)
+    "incremental_cc",
 ]
 
 # round-5 additions (VERDICT r4 item 4): the round-4 query classes that

@@ -520,6 +520,15 @@ def main() -> None:
         out,
     )
     audit(
+        "incremental_cc (contracted-graph batch update: the star loop "
+        "runs on batch-sized edges only; the corpus assignment is "
+        "touched by ONE root-remap join — AQE picks broadcast vs "
+        "shuffle from the real post-CC remap size)",
+        e.queries()["incremental_cc"](spark, sf),
+        ["no_python_udf", "no_expand"],
+        out,
+    )
+    audit(
         "bm25_topk (posting join + decimal sums, JVM-only, no Expand)",
         e.queries()["bm25_topk"](spark, sf),
         ["wholestage_codegen", "no_python_udf", "no_expand",
