@@ -3090,6 +3090,75 @@ def q_multimodal_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("image_id", "cluster_id", "is_canonical")
 
 
+def q_pipeline_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule metric AS a gated artifact: dup-pair recall (and
+    precision) of the full 3-stage pipeline against the generator's
+    held-out ground-truth cluster table (BASELINE.json north_rule:
+    "matching the reference's cluster assignments (dup-pair
+    recall≥0.99)"), emitted with the bar as a checked boolean.
+
+    Pair counts use the contingency identity — for each
+    (pred_cluster, true_cluster) cell of size n, C(n,2) pairs are hits
+    — so recall/precision come from three groupBy-count aggregations
+    and never materialize a pair table (the denominator at web scale
+    is quadratic in flood-cluster size; the counts are not). The
+    oracle recomputes the pipeline clusters from the same parquet
+    bytes (the multimodal_dedup_pipeline recursive closure) AND the
+    same contingency sums against the truth parquet, so the recall
+    NUMBER itself is value-gated, not self-reported."""
+    from dedup_spark.fixtures.materialize import fixture_truth_parquet
+    from dedup_spark.pipeline import dedup_pipeline
+
+    asg = dedup_pipeline(
+        _fixture_images(spark),
+        cfg=DedupConfig(jaccard_threshold=MINHASH_T),
+        caption_band_bucket=1 << 20,
+        phash_band_bucket=4096,
+    ).select("image_id", "cluster_id")
+    truth = spark.read.parquet(fixture_truth_parquet()).select(
+        "image_id", F.col("cluster_id").alias("t")
+    )
+    return pair_confusion_report(asg, truth)
+
+
+def pair_confusion_report(
+    asg: DataFrame, truth: DataFrame, recall_bar: float = 0.99
+) -> DataFrame:
+    """Dup-pair recall/precision of a cluster assignment
+    (id_col, cluster_id) vs ground truth (id_col, t) via the
+    contingency identity — three groupBy-count aggregations, never a
+    materialized pair table."""
+
+    def _pairs(df: DataFrame, cols: list[str], alias: str) -> DataFrame:
+        n = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("n"))
+        return n.agg(
+            (F.sum(F.col("n") * (F.col("n") - 1)) / 2).cast("long").alias(alias)
+        )
+
+    id_col = asg.columns[0]
+    hit = _pairs(asg.join(truth, id_col), ["cluster_id", "t"], "n_hit_pairs")
+    pred = _pairs(asg, ["cluster_id"], "n_pred_pairs")
+    true_ = _pairs(truth, ["t"], "n_true_pairs")
+    return (
+        true_.crossJoin(pred)
+        .crossJoin(hit)
+        .select(
+            "n_true_pairs",
+            "n_pred_pairs",
+            "n_hit_pairs",
+            F.round(F.col("n_hit_pairs") / F.col("n_true_pairs"), 6).alias(
+                "pair_recall"
+            ),
+            F.round(F.col("n_hit_pairs") / F.col("n_pred_pairs"), 6).alias(
+                "pair_precision"
+            ),
+            (F.col("n_hit_pairs") / F.col("n_true_pairs") >= recall_bar).alias(
+                "meets_recall_bar"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -3573,6 +3642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_segmentation": q_lang_segmentation,
         "dhash_dedup": q_dhash_dedup,
         "incremental_cc": q_incremental_cc,
+        "pipeline_recall_report": q_pipeline_recall_report,
         # --- last driver-checked in round 3 ---
         "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
@@ -3769,9 +3839,13 @@ nr AS (SELECT doc_id, sqrt(CAST(sum(cnt*cnt) AS DOUBLE)) AS nrm
 
     rescale_fixture = f"read_parquet('{fixture_rescale_parquet()}')"
     exif_fixture = f"read_parquet('{fixture_exif_parquet()}')"
-    from dedup_spark.fixtures.materialize import fixture_dhash_parquet
+    from dedup_spark.fixtures.materialize import (
+        fixture_dhash_parquet,
+        fixture_truth_parquet,
+    )
 
     dhash_fixture = f"read_parquet('{fixture_dhash_parquet()}')"
+    truth_fixture = f"read_parquet('{fixture_truth_parquet()}')"
     from dedup_spark.fixtures.materialize import (
         fixture_orientation_parquet,
         fixture_quality_parquet,
@@ -4198,6 +4272,71 @@ SELECT image_id, cluster_id,
        row_number() OVER (PARTITION BY cluster_id
             ORDER BY length(image_id), image_id) = 1 AS is_canonical
 FROM asg
+""",
+        # the north-rule recall bar, value-gated: the SAME recursive
+        # closure as multimodal_dedup_pipeline rebuilds the pipeline
+        # clusters from bytes, then the contingency C(n,2) sums against
+        # the held-out truth parquet reproduce recall/precision
+        "pipeline_recall_report": _oracle_shingle_pairs(
+            None,
+            f"(SELECT image_id AS doc_id, caption AS text FROM {fixture}) src",
+        ).replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+        + f""",
+ce AS (
+  SELECT id1 AS a, id2 AS b FROM scored
+  WHERE inter / (n1 + n2 - inter) >= {MINHASH_T}
+),
+he AS (
+  SELECT a.image_id AS a, b.image_id AS b
+  FROM {fixture} a JOIN {fixture} b ON a.image_id < b.image_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 3
+),
+be AS (
+  SELECT a.image_id AS a, b.image_id AS b
+  FROM {fixture} a JOIN {fixture} b
+    ON a.bytes = b.bytes AND a.image_id < b.image_id
+  WHERE octet_length(a.bytes) >= 1
+),
+e AS (
+  SELECT a, b FROM ce UNION SELECT a, b FROM he UNION SELECT a, b FROM be
+),
+sym AS (
+  SELECT a, b FROM e UNION SELECT b, a FROM e
+  UNION SELECT a, a FROM e UNION SELECT b, b FROM e
+),
+reach(src_id, dst) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.src_id, y.b FROM reach r JOIN sym y ON r.dst = y.a
+),
+cl AS (
+  SELECT src_id AS image_id, min(dst) AS cluster_id FROM reach GROUP BY src_id
+),
+asg AS (
+  SELECT i.image_id, coalesce(cl.cluster_id, i.image_id) AS cluster_id
+  FROM {fixture} i LEFT JOIN cl ON i.image_id = cl.image_id
+),
+tr AS (
+  SELECT image_id, cluster_id AS t FROM {truth_fixture}
+),
+hitc AS (
+  SELECT CAST(sum(n * (n - 1)) / 2 AS BIGINT) AS n_hit_pairs
+  FROM (SELECT count(*) AS n FROM asg JOIN tr USING (image_id)
+        GROUP BY asg.cluster_id, tr.t)
+),
+predc AS (
+  SELECT CAST(sum(n * (n - 1)) / 2 AS BIGINT) AS n_pred_pairs
+  FROM (SELECT count(*) AS n FROM asg GROUP BY cluster_id)
+),
+truec AS (
+  SELECT CAST(sum(n * (n - 1)) / 2 AS BIGINT) AS n_true_pairs
+  FROM (SELECT count(*) AS n FROM tr GROUP BY t)
+)
+SELECT n_true_pairs, n_pred_pairs, n_hit_pairs,
+       round(n_hit_pairs * 1.0 / n_true_pairs, 6) AS pair_recall,
+       round(n_hit_pairs * 1.0 / n_pred_pairs, 6) AS pair_precision,
+       n_hit_pairs * 1.0 / n_true_pairs >= 0.99 AS meets_recall_bar
+FROM truec, predc, hitc
 """,
         # exact/captions_equal recomputed from the same bytes in SQL;
         # psnr_ok = TRUE is the pinned decoded-pixel property (PSNR >=

@@ -141,6 +141,9 @@ HEADLINE = [
     # round-5: incremental CC (two-phase crawl split + contracted-graph
     # batch update over the cc_clusters edge tier)
     "incremental_cc",
+    # round-5: north-rule recall bar as a gated artifact (pinned
+    # fixture + full pipeline + contingency pair counts)
+    "pipeline_recall_report",
 ]
 
 

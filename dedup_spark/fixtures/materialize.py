@@ -372,6 +372,33 @@ def fixture_rescale_parquet(params: dict | None = None) -> str:
     return _write_atomic(table, out_dir, path)
 
 
+def fixture_truth_parquet(params: dict | None = None) -> str:
+    """Ground-truth cluster assignments for the SAME deterministic
+    corpus as fixture_images_parquet (identical params/seed → the
+    generator reproduces the exact images+truth pair) — the held-out
+    side of the north-rule recall gate. Columns:
+    (image_id, cluster_id, is_canonical)."""
+    import pyarrow as pa
+
+    from dedup_spark.fixtures.images import generate_corpus
+
+    params = dict(FIXTURE_PARAMS if params is None else params)
+    out_dir = os.path.join(FIXTURE_ROOT, _params_tag(params))
+    path = os.path.join(out_dir, "truth.parquet")
+    if os.path.exists(path):
+        return path
+    pdf = generate_corpus(**params).truth
+    table = pa.Table.from_arrays(
+        [
+            pa.array(pdf["image_id"], type=pa.string()),
+            pa.array(pdf["cluster_id"], type=pa.string()),
+            pa.array(pdf["is_canonical"], type=pa.bool_()),
+        ],
+        names=["image_id", "cluster_id", "is_canonical"],
+    )
+    return _write_atomic(table, out_dir, path)
+
+
 DHASH_PARAMS = dict(n_src=40, seed=11)
 
 

@@ -529,6 +529,14 @@ def main() -> None:
         out,
     )
     audit(
+        "pipeline_recall_report (contingency C(n,2) sums — three "
+        "groupBy-count aggs + 1-row crossJoins, never a materialized "
+        "pair table; payload stays out of every Exchange)",
+        e.queries()["pipeline_recall_report"](spark, sf),
+        ["no_payload_in_exchange", "no_expand"],
+        out,
+    )
+    audit(
         "bm25_topk (posting join + decimal sums, JVM-only, no Expand)",
         e.queries()["bm25_topk"](spark, sf),
         ["wholestage_codegen", "no_python_udf", "no_expand",
