@@ -672,6 +672,14 @@ def q_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     complement); the two-phase engine result must equal it row for
     row, including old clusters merged transitively THROUGH a new doc
     and relabeled roots when a new doc_id undercuts an old minimum."""
+    _, final = _crawl_phases(spark, sf_dir)
+    return final.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+def _crawl_phases(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Shared two-phase crawl construction (incremental_cc /
+    crawl_churn_report): (phase-1 old-corpus assignment, post-increment
+    assignment), both keyed ``(id, cluster_id)``."""
     docs = _docs(spark, sf_dir)
     edges = exact_jaccard_pairs(
         docs,
@@ -692,7 +700,54 @@ def q_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = incremental_cc_update(
         assign0, new_edges, new_ids=new_docs.select(F.col("doc_id").alias("id"))
     )
-    return final.select(F.col("id").alias("doc_id"), "cluster_id")
+    return assign0, final
+
+
+def q_crawl_churn_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn audit of the incremental crawl fold — the ops question a
+    production dedup service answers after every increment: how much
+    of yesterday's cluster table did today's batch actually touch?
+    One row: old/new doc counts, cluster counts before and after, old
+    docs whose assignment changed, and distinct old clusters
+    merged/relabeled. All quantities are combinable count aggregations
+    over the two assignment tables (1-row crossJoin assembly — the
+    broadcast-scalar idiom; no countDistinct Expand, each distinct is
+    its own pre-aggregated frame). The oracle recomputes BOTH phases
+    blind — the old-only closure AND the full closure as two recursive
+    CTEs — so every churn number is value-gated against an engine that
+    never ran incrementally at all."""
+    assign0, final = _crawl_phases(spark, sf_dir)
+    j = (
+        assign0.select("id", F.col("cluster_id").alias("c0"))
+        .join(final.select("id", F.col("cluster_id").alias("c1")), "id")
+    )
+    n_old = assign0.agg(F.count(F.lit(1)).cast("long").alias("n_old_docs"))
+    n_new = final.join(assign0.select("id"), "id", "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new_docs")
+    )
+    n_oc = (
+        assign0.select("cluster_id").distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_old_clusters"))
+    )
+    n_fc = (
+        final.select("cluster_id").distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_final_clusters"))
+    )
+    n_rel = j.agg(
+        F.coalesce(
+            F.sum((F.col("c0") != F.col("c1")).cast("long")), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_old_docs_relabeled")
+    )
+    n_mrg = (
+        j.filter(F.col("c0") != F.col("c1")).select("c0").distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_old_clusters_changed"))
+    )
+    return (
+        n_old.crossJoin(n_new).crossJoin(n_oc).crossJoin(n_fc)
+        .crossJoin(n_rel).crossJoin(n_mrg)
+    )
 
 
 SPLIT_A, SPLIT_MOD = 2654435761, 1 << 31  # Knuth multiplicative hash
@@ -3643,6 +3698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dhash_dedup": q_dhash_dedup,
         "incremental_cc": q_incremental_cc,
         "pipeline_recall_report": q_pipeline_recall_report,
+        "crawl_churn_report": q_crawl_churn_report,
         # --- last driver-checked in round 3 ---
         "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
@@ -4650,6 +4706,70 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN (SELECT src AS doc_id, min(dst) AS cluster_id
            FROM reach GROUP BY src) c ON c.doc_id = d.doc_id
+""",
+        # crawl churn audit: BOTH phases recomputed blind — the
+        # old-only closure and the full closure as two recursive CTEs
+        # over the same capped edge set — then the same six combinable
+        # counts; every churn number value-gated against an engine
+        # that never ran incrementally at all
+        "crawl_churn_report": _ORACLE_SHINGLE_PAIRS_CAPPED.replace(
+            "WITH t AS", "WITH RECURSIVE t AS", 1
+        )
+        + f""",
+e_all AS (
+  SELECT id1 AS a, id2 AS b FROM scored
+  WHERE inter / (n1 + n2 - inter) >= {JACCARD_T}
+),
+e_old AS (
+  SELECT a, b FROM e_all WHERE a % 4 <> 3 AND b % 4 <> 3
+),
+sym_a AS (
+  SELECT a, b FROM e_all UNION SELECT b, a FROM e_all
+  UNION SELECT a, a FROM e_all UNION SELECT b, b FROM e_all
+),
+reach_a(src, dst) AS (
+  SELECT a, b FROM sym_a
+  UNION
+  SELECT r.src, y.b FROM reach_a r JOIN sym_a y ON r.dst = y.a
+),
+sym_o AS (
+  SELECT a, b FROM e_old UNION SELECT b, a FROM e_old
+  UNION SELECT a, a FROM e_old UNION SELECT b, b FROM e_old
+),
+reach_o(src, dst) AS (
+  SELECT a, b FROM sym_o
+  UNION
+  SELECT r.src, y.b FROM reach_o r JOIN sym_o y ON r.dst = y.a
+),
+asg_full AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d
+  LEFT JOIN (SELECT src AS doc_id, min(dst) AS cluster_id
+             FROM reach_a GROUP BY src) c ON c.doc_id = d.doc_id
+),
+asg_old AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d
+  LEFT JOIN (SELECT src AS doc_id, min(dst) AS cluster_id
+             FROM reach_o GROUP BY src) c ON c.doc_id = d.doc_id
+  WHERE d.doc_id % 4 <> 3
+),
+chg AS (
+  SELECT o.cluster_id AS c0, f.cluster_id AS c1
+  FROM asg_old o JOIN asg_full f ON o.doc_id = f.doc_id
+)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM asg_old) AS n_old_docs,
+  (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 4 = 3)
+    AS n_new_docs,
+  (SELECT CAST(count(DISTINCT cluster_id) AS BIGINT) FROM asg_old)
+    AS n_old_clusters,
+  (SELECT CAST(count(DISTINCT cluster_id) AS BIGINT) FROM asg_full)
+    AS n_final_clusters,
+  (SELECT CAST(coalesce(sum(CASE WHEN c0 <> c1 THEN 1 ELSE 0 END), 0)
+       AS BIGINT) FROM chg) AS n_old_docs_relabeled,
+  (SELECT CAST(count(DISTINCT c0) AS BIGINT) FROM chg WHERE c0 <> c1)
+    AS n_old_clusters_changed
 """,
         # cluster-size histogram: same closure + the singleton
         # complement, then the double aggregation

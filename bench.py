@@ -144,6 +144,9 @@ HEADLINE = [
     # round-5: north-rule recall bar as a gated artifact (pinned
     # fixture + full pipeline + contingency pair counts)
     "pipeline_recall_report",
+    # round-5: incremental-crawl churn audit (both phases + six
+    # combinable counts)
+    "crawl_churn_report",
 ]
 
 

@@ -537,6 +537,14 @@ def main() -> None:
         out,
     )
     audit(
+        "crawl_churn_report (six combinable counts over the two "
+        "assignment tables, 1-row crossJoin assembly — each distinct "
+        "is its own pre-aggregated frame, no countDistinct Expand)",
+        e.queries()["crawl_churn_report"](spark, sf),
+        ["no_python_udf", "no_expand"],
+        out,
+    )
+    audit(
         "bm25_topk (posting join + decimal sums, JVM-only, no Expand)",
         e.queries()["bm25_topk"](spark, sf),
         ["wholestage_codegen", "no_python_udf", "no_expand",
