@@ -2940,10 +2940,11 @@ def q_jpeg_roundtrip_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_crossformat_pixel_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pixel-content dedup across container formats — the case byte
     dedup can't see: every fixture image is re-encoded under ppm, png,
-    lossless webp, tiff-lzw, and baseline jpeg (all real codecs — webp
-    is the round-5 from-scratch VP8L implementation, tiff the round-5
-    from-scratch LZW+predictor one), then clustered by
-    sha256(decoded pixels). Lossless variants of byte-identical
+    lossless webp, tiff-lzw, true-color strip gif, and baseline jpeg
+    (all real codecs — webp is the round-5 from-scratch VP8L
+    implementation, tiff the round-5 from-scratch LZW+predictor one,
+    gif the round-5 from-scratch LSB-first-LZW per-strip-palette one),
+    then clustered by sha256(decoded pixels). Lossless variants of byte-identical
     originals collapse into ONE cluster regardless of format; the
     deterministic lossy tier forms its own pixel-exact cluster per
     byte-group (same input bytes → same jpeg → same decoded pixels).
@@ -4115,7 +4116,7 @@ WITH v AS (
          CASE WHEN s = 'jpeg' THEN 'J' ELSE 'L' END AS tier,
          bytes
   FROM {fixture},
-       (VALUES ('ppm'), ('png'), ('jpeg'), ('webp'), ('tiff')) t(s)
+       (VALUES ('ppm'), ('png'), ('jpeg'), ('webp'), ('tiff'), ('gif')) t(s)
 )
 SELECT vid AS image_id, TRUE AS ok,
        min(vid) OVER (PARTITION BY tier, bytes) AS cluster_id

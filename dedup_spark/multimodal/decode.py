@@ -3,14 +3,15 @@
 Images, audio, and video are opaque `binary` columns with typed metadata
 (w, h, fmt). All pixel work happens in Arrow-batched pandas UDFs via
 mapInPandas — the Spark-side plumbing (schema, batch shape, partition
-sizing) is real and tested. FIVE formats decode for real with zero
+sizing) is real and tested. SIX formats decode for real with zero
 imaging libs: PPM (pure numpy), PNG (stdlib zlib + numpy unfilter,
 multimodal/png.py — 8-bit grey/RGB/RGBA, all five filters), baseline
 JPEG (multimodal/jpeg.py — numpy DCT + hand-rolled Huffman), lossless
 WebP (multimodal/webp.py — from-scratch VP8L prefix-code / LZ77 /
-color-cache bitstream, documented subset), and TIFF
-(multimodal/tiff.py — general IFD walk both endians, from-scratch LZW
-with the early-change width schedule, horizontal predictor). Remaining
+color-cache bitstream, documented subset), TIFF (multimodal/tiff.py —
+general IFD walk both endians, from-scratch LZW with the early-change
+width schedule, horizontal predictor), and GIF (multimodal/gif.py —
+LSB-first LZW, true-color via per-strip local palettes). Remaining
 codec-heavy decodes (lossy webp/video) sit behind a PIL import-try
 since those libs are not in this container.
 
@@ -68,6 +69,10 @@ def _decode_any(data: bytes, fmt: str) -> np.ndarray | None:
             from dedup_spark.multimodal.tiff import decode_tiff
 
             return decode_tiff(bytes(data))
+        if fmt == "gif":
+            from dedup_spark.multimodal.gif import decode_gif
+
+            return decode_gif(bytes(data))
         if _HAS_PIL:
             import io
 
@@ -305,19 +310,20 @@ def lossy_roundtrip_fidelity(
 
 def reencode_variants(
     df: DataFrame,
-    formats: tuple = ("ppm", "png", "jpeg", "webp", "tiff"),
+    formats: tuple = ("ppm", "png", "jpeg", "webp", "tiff", "gif"),
     id_col: str = "image_id",
     bytes_col: str = "bytes",
     fmt_col: str = "fmt",
 ) -> DataFrame:
     """Deterministically re-encode every decodable payload in each of
     ``formats`` (real codecs: PPM, PNG, baseline JPEG, lossless WebP,
-    TIFF-LZW) — one output row per (image, format) with id
-    `<image_id>#<format>`.
+    TIFF-LZW, true-color strip GIF) — one output row per
+    (image, format) with id `<image_id>#<format>`.
     This synthesizes the classic ingest situation pixel-level dedup
     exists for: the same image arriving re-encoded under different
     container formats, where byte-level dedup sees nothing."""
     from dedup_spark.fixtures.images import encode_ppm
+    from dedup_spark.multimodal.gif import encode_gif
     from dedup_spark.multimodal.jpeg import encode_jpeg
     from dedup_spark.multimodal.png import encode_png
     from dedup_spark.multimodal.tiff import encode_tiff
@@ -329,6 +335,7 @@ def reencode_variants(
         "jpeg": encode_jpeg,
         "webp": encode_webp_lossless,
         "tiff": encode_tiff,
+        "gif": encode_gif,
     }
 
     def _re(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -380,7 +380,9 @@ def test_crossformat_pixel_dedup_clusters(spark):
     assert all(r["ok"] for r in ph.collect())
     # lossless variants of a and b all share one pixel identity
     lossless = {
-        shas[f"{i}#{f}"] for i in "ab" for f in ("ppm", "png", "webp")
+        shas[f"{i}#{f}"]
+        for i in "ab"
+        for f in ("ppm", "png", "webp", "tiff", "gif")
     }
     assert len(lossless) == 1
     # the lossy tier is deterministic: a and b's jpegs agree...
