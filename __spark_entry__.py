@@ -3364,6 +3364,29 @@ def _fixture_audio_quality(spark: SparkSession):
     return spark.read.parquet(fixture_audio_quality_parquet())
 
 
+def q_image_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brightness/contrast curation report (multimodal/decode.py
+    image_quality_report — the drop rules image pipelines apply before
+    any expensive near-dup work: all-dark sensor failures, blown-out
+    frames, zero-contrast placeholders): integer milli-luma
+    (299R+587G+114B), exact-int mean/std sums, dark and blown-out
+    pixel ratios, min/max luma — one Arrow mapInPandas projection, the
+    payload consumed there and never in an exchange. Runs on a
+    dedicated defect-structured PPM corpus whose generator ASSERTS
+    each class margin (dark rows all-dark, bright rows all-blown,
+    flat rows zero-std). The oracle rebuilds every pixel from
+    hex(bytes) via the 256-row lookup join — PPM header length derived
+    from the w/h columns — and recomputes every statistic with the
+    identical exact-integer-then-one-division arithmetic."""
+    from dedup_spark.fixtures.materialize import fixture_imgq_parquet
+    from dedup_spark.multimodal.decode import image_quality_report
+
+    df = spark.read.parquet(fixture_imgq_parquet())
+    # the engine sees bytes only — `klass` is the generator's ground
+    # truth, kept out of the projection
+    return image_quality_report(df.drop("klass", "w", "h"))
+
+
 def _fixture_videos(spark: SparkSession):
     from dedup_spark.fixtures.materialize import fixture_videos_parquet
 
@@ -3700,6 +3723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_cc": q_incremental_cc,
         "pipeline_recall_report": q_pipeline_recall_report,
         "crawl_churn_report": q_crawl_churn_report,
+        "image_quality_stats": q_image_quality_stats,
         # --- last driver-checked in round 3 ---
         "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
@@ -3880,6 +3904,9 @@ nr AS (SELECT doc_id, sqrt(CAST(sum(cnt*cnt) AS DOUBLE)) AS nrm
     )
 
     audq_fixture = f"read_parquet('{fixture_audio_quality_parquet()}')"
+    from dedup_spark.fixtures.materialize import fixture_imgq_parquet
+
+    imgq_fixture = f"read_parquet('{fixture_imgq_parquet()}')"
     from dedup_spark.fixtures.materialize import fixture_avi_parquet
     from dedup_spark.multimodal.avi import (
         AVI_CHUNK,
@@ -5953,6 +5980,47 @@ SELECT cl.audio_id, CAST(cl.n_win AS BIGINT) AS n_windows, sil.n_silent,
        cl.n_clipped, round(cl.n_clipped * 1.0 / cl.n, 6) AS clip_ratio,
        cl.peak
 FROM cl JOIN sil USING (audio_id)
+""",
+        # image quality: rebuild every pixel from hex(bytes) — the PPM
+        # header is "P6\\n{{w}} {{h}}\\n255\\n" so its byte length is
+        # 9 + digits(w) + digits(h), derivable from the stored w/h
+        # columns — then the identical exact-integer luma statistics.
+        # n*ssq - s*s is converted to double from the SAME exact
+        # integer on both sides (HUGEINT here, Python int there).
+        "image_quality_stats": f"""
+WITH hb(hh, v) AS (VALUES {hex_byte_values}),
+fx AS (
+  SELECT image_id, hex(bytes) AS hx, CAST(w AS BIGINT) * h AS n,
+         9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) AS hdr
+  FROM {imgq_fixture}
+),
+px AS (
+  SELECT fx.image_id, fx.n,
+         299 * r.v + 587 * g.v + 114 * b.v AS luma
+  FROM fx CROSS JOIN generate_series(0, 1023) t(k)
+  JOIN hb r ON r.hh = substring(fx.hx, 2 * (fx.hdr + 3 * t.k) + 1, 2)
+  JOIN hb g ON g.hh = substring(fx.hx, 2 * (fx.hdr + 3 * t.k + 1) + 1, 2)
+  JOIN hb b ON b.hh = substring(fx.hx, 2 * (fx.hdr + 3 * t.k + 2) + 1, 2)
+  WHERE t.k < fx.n
+),
+a AS (
+  SELECT image_id, any_value(n) AS n,
+         sum(CAST(luma AS BIGINT)) AS s,
+         sum(CAST(luma AS BIGINT) * luma) AS ssq,
+         CAST(count(*) FILTER (WHERE luma < 30000) AS BIGINT) AS n_dark,
+         CAST(count(*) FILTER (WHERE luma > 225000) AS BIGINT) AS n_bright,
+         CAST(min(luma) AS BIGINT) AS min_l,
+         CAST(max(luma) AS BIGINT) AS max_l
+  FROM px GROUP BY image_id
+)
+SELECT image_id, TRUE AS ok, CAST(n AS BIGINT) AS n_px,
+       round(CAST(s AS DOUBLE) / CAST(n * 1000 AS DOUBLE), 6) AS mean_luma,
+       round(sqrt(CAST(n * ssq - s * s AS DOUBLE)) / (n * 1000.0), 6)
+         AS std_luma,
+       round(n_dark * 1.0 / n, 6) AS dark_ratio,
+       round(n_bright * 1.0 / n, 6) AS bright_ratio,
+       min_l AS min_luma1000, max_l AS max_luma1000
+FROM a
 """,
         "audio_fingerprint_dups": f"""
 WITH hx AS (

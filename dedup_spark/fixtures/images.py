@@ -499,3 +499,59 @@ def generate_dhash_corpus(
     return pd.DataFrame(
         rows, columns=["image_id", "src_id", "bytes", "w", "h", "fmt"]
     )
+
+
+# luma in integer milli-units: 299R + 587G + 114B per pixel (BT.601
+# weights ×1000), range 0..255000 — the exact arithmetic the
+# image-quality tier and its oracle share
+LUMA_DARK = 30_000  # < 30/255 full-scale → "dark" pixel
+LUMA_BRIGHT = 225_000  # > 225/255 full-scale → "blown-out" pixel
+
+
+def luma1000(px: np.ndarray) -> np.ndarray:
+    p = px.astype(np.int64)
+    return 299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]
+
+
+def generate_image_quality_corpus(n: int = 40, seed: int = 23) -> pd.DataFrame:
+    """Defect-structured corpus for the image-quality curation tier
+    (the audio_quality posture): four classes cycling per row —
+    'dark' (every pixel under the dark luma bound), 'bright' (every
+    pixel over the blown-out bound), 'flat' (one constant mid-range
+    color → zero contrast), 'normal' (full-range smooth content).
+    Dims cycle (8,8) / (16,12) / (32,24) so the oracle's PPM header
+    arithmetic sees 1- and 2-digit sizes. Every class margin is
+    ASSERTED at generation time so the story cannot silently rot.
+    Columns: (image_id, bytes, w, h, fmt='ppm', klass)."""
+    dims = ((8, 8), (16, 12), (32, 24))
+    rows = []
+    for i in range(n):
+        iid = f"iq{i:04d}"
+        klass = ("dark", "bright", "flat", "normal")[i % 4]
+        w, h = dims[i % len(dims)]
+        base = _smooth_image(f"{seed}:{iid}".encode(), w, h).astype(np.int64)
+        if klass == "dark":
+            px = base * 26 // 256  # values 0..25 → luma <= 25_000
+        elif klass == "bright":
+            px = 230 + base * 26 // 256  # values 230..255 → luma >= 230_000
+        elif klass == "flat":
+            px = np.full((h, w, 3), 80 + (i % 7) * 15, dtype=np.int64)
+        else:
+            px = base
+        px = px.astype(np.uint8)
+        lum = luma1000(px)
+        if klass == "dark":
+            assert lum.max() < LUMA_DARK, f"{iid}: dark class leaked"
+        elif klass == "bright":
+            assert lum.min() > LUMA_BRIGHT, f"{iid}: bright class leaked"
+        elif klass == "flat":
+            assert lum.std() == 0.0, f"{iid}: flat class has contrast"
+        else:
+            n_px = lum.size
+            assert (lum < LUMA_DARK).sum() / n_px < 0.2, f"{iid}: normal too dark"
+            assert (lum > LUMA_BRIGHT).sum() / n_px < 0.2, f"{iid}: normal too bright"
+            assert lum.std() / 1000.0 > 5.0, f"{iid}: normal class too flat"
+        rows.append((iid, encode_ppm(px), w, h, "ppm", klass))
+    return pd.DataFrame(
+        rows, columns=["image_id", "bytes", "w", "h", "fmt", "klass"]
+    )

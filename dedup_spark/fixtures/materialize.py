@@ -458,3 +458,35 @@ def fixture_avi_parquet(params: dict | None = None) -> str:
         names=["video_id", "bytes", "w", "h", "n_frames", "fmt"],
     )
     return _write_atomic(table, out_dir, path)
+
+
+IMGQ_PARAMS = dict(n=40, seed=23)
+
+
+def fixture_imgq_parquet(params: dict | None = None) -> str:
+    """Pinned defect-structured image corpus (fixtures/images.py
+    generate_image_quality_corpus) for the brightness/contrast
+    curation tier — separate from the main fixture so its gates stay
+    untouched."""
+    import pyarrow as pa
+
+    from dedup_spark.fixtures.images import generate_image_quality_corpus
+
+    params = dict(IMGQ_PARAMS if params is None else params)
+    out_dir = os.path.join(FIXTURE_ROOT, "imgq_" + _params_tag(params))
+    path = os.path.join(out_dir, "images.parquet")
+    if os.path.exists(path):
+        return path
+    pdf = generate_image_quality_corpus(**params)
+    table = pa.Table.from_arrays(
+        [
+            pa.array(pdf["image_id"], type=pa.string()),
+            pa.array(pdf["bytes"], type=pa.binary()),
+            pa.array(pdf["w"], type=pa.int32()),
+            pa.array(pdf["h"], type=pa.int32()),
+            pa.array(pdf["fmt"], type=pa.string()),
+            pa.array(pdf["klass"], type=pa.string()),
+        ],
+        names=["image_id", "bytes", "w", "h", "fmt", "klass"],
+    )
+    return _write_atomic(table, out_dir, path)

@@ -493,3 +493,82 @@ def frame_sample_stub(df: DataFrame, every_n: int = 30) -> DataFrame:
         "containers — an inter-frame build would swap the per-chunk "
         "decode inside the same UDF shape"
     )
+
+
+def image_quality_report(
+    df: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+) -> DataFrame:
+    """Brightness/contrast curation signals per image — the drop rules
+    image pipelines apply before any expensive near-dup work (all-dark
+    sensor failures, blown-out frames, zero-contrast placeholders):
+    integer milli-luma (299R+587G+114B, BT.601 ×1000), mean and std,
+    the dark / blown-out pixel ratios, and the min/max luma. One
+    Arrow-batched mapInPandas projection — the payload is consumed
+    here and never enters an exchange (the audio_quality plan shape).
+
+    Exactness contract with the oracle: per-image sums are EXACT
+    Python ints (s = Σ luma, ssq = Σ luma²); doubles appear only in
+    the final divisions —
+      mean_luma  = s / (n·1000)
+      std_luma   = sqrt(double(n·ssq − s²)) / (n·1000)
+    where n·ssq − s² ≤ n²·255000²/4 is converted from the same exact
+    integer on both sides (correctly-rounded int→double, so magnitude
+    beyond 2^53 is still bit-identical), and every ratio is an
+    int/int division of exact doubles. All exposed floats round(·, 6)
+    half-away-from-zero (the audio_quality banker's-tie lesson).
+    """
+    import math
+
+    def _round6(x: float) -> float:
+        # half-AWAY on non-negative values — Python round() is
+        # banker's and diverges from DuckDB on exact 6-dp ties
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def _iq(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rid, data, fmt in zip(pdf[id_col], pdf[bytes_col], pdf[fmt_col]):
+                px = _decode_any(data, fmt)
+                if px is None:
+                    rows.append((rid, False) + (None,) * 7)
+                    continue
+                p = px.astype(np.int64)
+                lum = 299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]
+                n = int(lum.size)
+                s = int(lum.sum())
+                ssq = int(np.dot(lum.ravel(), lum.ravel()))
+                n_dark = int((lum < 30_000).sum())
+                n_bright = int((lum > 225_000).sum())
+                rows.append(
+                    (
+                        rid,
+                        True,
+                        n,
+                        _round6(s / (n * 1000)),
+                        _round6(math.sqrt(float(n * ssq - s * s)) / (n * 1000.0)),
+                        _round6(n_dark / n),
+                        _round6(n_bright / n),
+                        int(lum.min()),
+                        int(lum.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "ok", "n_px", "mean_luma", "std_luma",
+                    "dark_ratio", "bright_ratio", "min_luma1000",
+                    "max_luma1000",
+                ],
+            )
+
+    return df.select(id_col, bytes_col, fmt_col).mapInPandas(
+        _iq,
+        schema=(
+            f"{id_col} string, ok boolean, n_px long, mean_luma double, "
+            "std_luma double, dark_ratio double, bright_ratio double, "
+            "min_luma1000 long, max_luma1000 long"
+        ),
+    )

@@ -709,6 +709,14 @@ def main() -> None:
     )
 
     audit(
+        "image_quality_stats (Arrow-vectorized mapInPandas projection "
+        "— payload consumed in the projection, never in an exchange)",
+        e.queries()["image_quality_stats"](spark, sf),
+        ["map_in_pandas", "no_payload_in_exchange"],
+        out,
+    )
+
+    audit(
         "hll_distinct (one combinable register agg, integer harmonic "
         "sum, pure JVM)",
         e.queries()["hll_distinct"](spark, sf),
