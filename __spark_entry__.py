@@ -1419,6 +1419,32 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GAES_K = 20  # per-group weighted-sample budget
+GAES_SEED = "gaes-0"
+
+
+def q_group_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source budgeted A-ES sampling (operators/assembly.py::
+    group_weighted_sample_keys): every source independently keeps its
+    20 largest u^(1/n_chars) keys — the 'fixed budget per stratum,
+    length-weighted within it' corpus-assembly recipe. The top-k is
+    two-phase salted (rank within (source, md5-salt) first, then rank
+    the ≤ k·buckets survivors per source) so no task ever sorts a
+    whole source — a billion-row source never lands in one window
+    partition. The oracle recomputes every key with the identical
+    ln/exp composition and takes the same per-source row_number."""
+    from dedup_spark.operators.assembly import group_weighted_sample_keys
+
+    return group_weighted_sample_keys(
+        _docs(spark, sf_dir),
+        id_col="doc_id",
+        group_col="source",
+        weight_col="n_chars",
+        seed=GAES_SEED,
+        k=GAES_K,
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
 BPE_K = 6  # tokenizer-induction depth for the gate
 
 
@@ -3387,6 +3413,27 @@ def q_image_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_quality_report(df.drop("klass", "w", "h"))
 
 
+def q_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte format sniffing (multimodal/sniff.py) — the ingest
+    audit that catches lying extensions BEFORE a byte reaches the
+    decode tier: one whole-stage-codegen projection prefix-matching
+    hex(first 12 bytes) against the published PNG/JPEG/GIF/TIFF/WEBP/
+    PPM/BMP magics (WEBP needs BOTH RIFF@0 and WEBP@8 — a WAV is not a
+    WebP). Runs on a dedicated mislabel-structured corpus (true,
+    mislabeled, bmp, RIFF-but-WAV, truncated-below-any-magic, garbage
+    and NULL rows — every class's expected sniff ASSERTED at
+    generation). The oracle recomputes the identical CASE over
+    substr(hex(bytes)); NULL payloads sniff as 'missing', so every
+    output column is total — no NULLs."""
+    from dedup_spark.fixtures.materialize import fixture_sniff_parquet
+    from dedup_spark.multimodal.sniff import format_sniff_report
+
+    df = spark.read.parquet(fixture_sniff_parquet())
+    # the engine sees bytes+declared fmt only — klass/expected are
+    # generator ground truth for tests
+    return format_sniff_report(df.drop("klass", "expected"))
+
+
 def _fixture_videos(spark: SparkSession):
     from dedup_spark.fixtures.materialize import fixture_videos_parquet
 
@@ -3724,6 +3771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_recall_report": q_pipeline_recall_report,
         "crawl_churn_report": q_crawl_churn_report,
         "image_quality_stats": q_image_quality_stats,
+        "group_weighted_sample": q_group_weighted_sample,
+        "format_sniff": q_format_sniff,
         # --- last driver-checked in round 3 ---
         "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
@@ -3907,6 +3956,9 @@ nr AS (SELECT doc_id, sqrt(CAST(sum(cnt*cnt) AS DOUBLE)) AS nrm
     from dedup_spark.fixtures.materialize import fixture_imgq_parquet
 
     imgq_fixture = f"read_parquet('{fixture_imgq_parquet()}')"
+    from dedup_spark.fixtures.materialize import fixture_sniff_parquet
+
+    sniff_fixture = f"read_parquet('{fixture_sniff_parquet()}')"
     from dedup_spark.fixtures.materialize import fixture_avi_parquet
     from dedup_spark.multimodal.avi import (
         AVI_CHUNK,
@@ -5172,6 +5224,29 @@ s AS (
 SELECT doc_id, n_chars AS weight, round(sc, 6) AS score
 FROM s ORDER BY sc DESC, doc_id ASC LIMIT {AES_K}
 """,
+        # per-source budgeted A-ES: identical key composition, then a
+        # per-source row_number instead of the global LIMIT
+        "group_weighted_sample": f"""
+WITH b AS (
+  SELECT source, doc_id, n_chars,
+         ('0x' || substring(md5('{GAES_SEED}:' || doc_id), 1, 15))::BIGINT
+           AS h
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+),
+s AS (
+  SELECT source, doc_id, n_chars,
+         exp(ln((h + 1) / 1152921504606846976.0) / n_chars) AS sc
+  FROM b
+),
+r AS (
+  SELECT source, doc_id, n_chars AS weight, round(sc, 6) AS score,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY sc DESC, doc_id ASC) AS rank
+  FROM s
+)
+SELECT source, doc_id, weight, score, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {GAES_K}
+""",
         # HLL: rebuild the 256 registers (same md5 hash, same
         # binary-string rho), the integer harmonic sum, and the
         # identical final doubles
@@ -6021,6 +6096,36 @@ SELECT image_id, TRUE AS ok, CAST(n AS BIGINT) AS n_px,
        round(n_bright * 1.0 / n, 6) AS bright_ratio,
        min_l AS min_luma1000, max_l AS max_luma1000
 FROM a
+""",
+        # format sniff: identical CASE over the hex prefix (this DuckDB
+        # cannot slice BLOBs, so hex() runs on the whole payload —
+        # fixture rows are tiny; Spark slices first 12 bytes)
+        "format_sniff": f"""
+WITH s AS (
+  SELECT image_id, fmt,
+         CASE WHEN bytes IS NULL THEN NULL
+              ELSE substr(hex(bytes), 1, 24) END AS hx,
+         bytes IS NULL AS is_null
+  FROM {sniff_fixture}
+),
+d AS (
+  SELECT image_id, fmt,
+    CASE
+      WHEN is_null THEN 'missing'
+      WHEN hx LIKE '89504E470D0A1A0A%' THEN 'png'
+      WHEN hx LIKE 'FFD8FF%' THEN 'jpeg'
+      WHEN hx LIKE '474946383761%' OR hx LIKE '474946383961%' THEN 'gif'
+      WHEN hx LIKE '49492A00%' OR hx LIKE '4D4D002A%' THEN 'tiff'
+      WHEN hx LIKE '52494646%' AND substr(hx, 17, 8) = '57454250'
+        THEN 'webp'
+      WHEN hx LIKE '50360A%' OR hx LIKE '503620%' OR hx LIKE '503609%'
+        THEN 'ppm'
+      WHEN hx LIKE '424D%' THEN 'bmp'
+      ELSE 'unknown'
+    END AS sniffed_fmt
+  FROM s
+)
+SELECT image_id, fmt, sniffed_fmt, fmt = sniffed_fmt AS matches FROM d
 """,
         "audio_fingerprint_dups": f"""
 WITH hx AS (

@@ -133,6 +133,10 @@ HEADLINE = [
     "cms_heavy_hitters",
     # round-5: A-ES weighted sampling (seeded u^(1/w) keys, top-k)
     "weighted_sample",
+    # round-5: per-source budgeted A-ES (two-phase salted top-k)
+    "group_weighted_sample",
+    # round-5: magic-byte format sniffing (pure-codegen ingest audit)
+    "format_sniff",
     # round-5: per-line language segmentation (mixed-doc detection)
     "lang_segmentation",
     # round-5: brightness/rescale-invariant dHash dedup (pinned

@@ -555,3 +555,108 @@ def generate_image_quality_corpus(n: int = 40, seed: int = 23) -> pd.DataFrame:
     return pd.DataFrame(
         rows, columns=["image_id", "bytes", "w", "h", "fmt", "klass"]
     )
+
+
+def _py_sniff(data: bytes | None) -> str:
+    """Reference magic-byte sniffer (plain Python) — the generator uses
+    it to ASSERT every fixture row's expected class at creation time,
+    and tests use it as the independent recompute. Must mirror
+    multimodal/sniff.py::sniffed_format exactly."""
+    if data is None:
+        return "missing"
+    if data.startswith(b"\x89PNG\r\n\x1a\n"):
+        return "png"
+    if data.startswith(b"\xff\xd8\xff"):
+        return "jpeg"
+    if data.startswith((b"GIF87a", b"GIF89a")):
+        return "gif"
+    if data.startswith((b"II*\x00", b"MM\x00*")):
+        return "tiff"
+    if data.startswith(b"RIFF") and data[8:12] == b"WEBP":
+        return "webp"
+    if data.startswith((b"P6\n", b"P6 ", b"P6\t")):
+        return "ppm"
+    if data.startswith(b"BM"):
+        return "bmp"
+    return "unknown"
+
+
+def generate_sniff_corpus(n: int = 60, seed: int = 29) -> pd.DataFrame:
+    """Mislabel-structured corpus for the format-sniffing ingest audit:
+    per-row classes cycle through
+      * 'true'      — bytes really are the declared fmt (all 6 codecs)
+      * 'mislabel'  — valid bytes of format X, declared as Y≠X (the
+        classic crawl corruption: extension lies about content)
+      * 'bmp'       — a BM-magic payload (format we detect but never
+        encode) declared correctly
+      * 'riff_wave' — RIFF container that is NOT WEBP (declared webp —
+        exercises the two-field RIFF check's negative side)
+      * 'truncated' — 1-3 magic-prefix bytes (too short for any magic)
+      * 'garbage'   — digest noise with no magic (asserted)
+      * 'nullbytes' — NULL payload (sniffs as 'missing')
+    Every row's expected sniff is computed by the reference Python
+    sniffer and ASSERTED against the class contract at generation time.
+    Columns: (image_id, bytes, fmt, klass, expected)."""
+    from dedup_spark.multimodal.gif import encode_gif
+    from dedup_spark.multimodal.jpeg import encode_jpeg
+    from dedup_spark.multimodal.png import encode_png
+    from dedup_spark.multimodal.tiff import encode_tiff
+    from dedup_spark.multimodal.webp import encode_webp_lossless
+
+    enc = {
+        "ppm": encode_ppm,
+        "png": encode_png,
+        "jpeg": encode_jpeg,
+        "webp": encode_webp_lossless,
+        "tiff": encode_tiff,
+        "gif": encode_gif,
+    }
+    fmts = list(enc)
+    classes = ("true", "mislabel", "bmp", "riff_wave",
+               "truncated", "garbage", "nullbytes")
+    rows = []
+    for i in range(n):
+        iid = f"sn{i:04d}"
+        klass = classes[i % len(classes)]
+        w, h = ((8, 8), (12, 10), (16, 12))[i % 3]
+        px = _smooth_image(f"{seed}:{iid}".encode(), w, h)
+        if klass == "true":
+            fmt = fmts[i % len(fmts)]
+            data = enc[fmt](px)
+            expect = fmt
+        elif klass == "mislabel":
+            actual = fmts[i % len(fmts)]
+            fmt = fmts[(i + 1) % len(fmts)]  # declared ≠ actual
+            data = enc[actual](px)
+            expect = actual
+        elif klass == "bmp":
+            fmt = "bmp"
+            data = b"BM" + _digest_stream(
+                f"{seed}:{iid}:bmp".encode(), 40
+            ).tobytes()
+            expect = "bmp"
+        elif klass == "riff_wave":
+            fmt = "webp"
+            data = b"RIFF" + (36).to_bytes(4, "little") + b"WAVE" + b"\x00" * 8
+            expect = "unknown"
+        elif klass == "truncated":
+            fmt = fmts[i % len(fmts)]
+            # 1-2 bytes: strictly shorter than every magic (jpeg's is
+            # 3 bytes, ppm's 3, bmp's 2 — bmp is not an enc format)
+            data = enc[fmt](px)[: 1 + i % 2]
+            expect = "unknown"
+        elif klass == "garbage":
+            fmt = fmts[i % len(fmts)]
+            data = b"\x00" + _digest_stream(
+                f"{seed}:{iid}:junk".encode(), 64
+            ).tobytes()
+            expect = "unknown"
+        else:  # nullbytes
+            fmt = fmts[i % len(fmts)]
+            data = None
+            expect = "missing"
+        assert _py_sniff(data) == expect, f"{iid}: {klass} sniff drifted"
+        rows.append((iid, data, fmt, klass, expect))
+    return pd.DataFrame(
+        rows, columns=["image_id", "bytes", "fmt", "klass", "expected"]
+    )

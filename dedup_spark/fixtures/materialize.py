@@ -490,3 +490,34 @@ def fixture_imgq_parquet(params: dict | None = None) -> str:
         names=["image_id", "bytes", "w", "h", "fmt", "klass"],
     )
     return _write_atomic(table, out_dir, path)
+
+
+SNIFF_PARAMS = dict(n=60, seed=29)
+
+
+def fixture_sniff_parquet(params: dict | None = None) -> str:
+    """Pinned mislabel-structured corpus (fixtures/images.py
+    generate_sniff_corpus) for the magic-byte format-sniffing ingest
+    audit. `expected` is generator ground truth for tests only — the
+    driver oracle recomputes the sniff from raw hex, never reads it."""
+    import pyarrow as pa
+
+    from dedup_spark.fixtures.images import generate_sniff_corpus
+
+    params = dict(SNIFF_PARAMS if params is None else params)
+    out_dir = os.path.join(FIXTURE_ROOT, "sniff_" + _params_tag(params))
+    path = os.path.join(out_dir, "images.parquet")
+    if os.path.exists(path):
+        return path
+    pdf = generate_sniff_corpus(**params)
+    table = pa.Table.from_arrays(
+        [
+            pa.array(pdf["image_id"], type=pa.string()),
+            pa.array(pdf["bytes"], type=pa.binary()),
+            pa.array(pdf["fmt"], type=pa.string()),
+            pa.array(pdf["klass"], type=pa.string()),
+            pa.array(pdf["expected"], type=pa.string()),
+        ],
+        names=["image_id", "bytes", "fmt", "klass", "expected"],
+    )
+    return _write_atomic(table, out_dir, path)

@@ -191,3 +191,91 @@ def weighted_sample_keys(
         .limit(k)
         .select(id_col, "weight", F.round(F.col("_score"), 6).alias("score"))
     )
+
+
+def group_weighted_sample_keys(
+    df: DataFrame,
+    *,
+    id_col: str,
+    group_col: str,
+    weight_col: str,
+    seed: str,
+    k: int,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Per-group weighted sampling without replacement — the budgeted
+    variant of ``weighted_sample_keys``: every group (source, language,
+    quality bucket) independently keeps its ``k`` largest A-ES keys
+    u^(1/w), so each stratum gets a weight-proportional sample of
+    exactly min(k, |group|) records (the per-source budget recipe
+    behind multilingual corpus assembly: "20k docs from every source,
+    length-weighted").
+
+    Scale shape: a naive window over ``group_col`` ships an entire
+    group through one task — a billion-row source would sort in one
+    place. Instead the top-k is TWO-phase: phase 1 ranks within
+    (group, salt) for a deterministic md5-derived salt in
+    [0, salt_buckets) and keeps k per salted cell (correct because the
+    global per-group top-k is a subset of the union of its salt-cell
+    top-ks); phase 2 ranks the surviving ≤ k·salt_buckets rows per
+    group. No task ever sorts more than a salt-cell, and the phase-2
+    input is budget-sized, not corpus-sized. With salt_buckets=1 the
+    two phases collapse to the naive window (used as the parity oracle
+    in tests).
+
+    The A-ES key composition is byte-identical to
+    ``weighted_sample_keys`` (and to the DuckDB oracle): u from the
+    60-bit md5(seed||id) prefix, key = exp(ln(u)/w). Rows with NULL or
+    non-positive weight are excluded. Returns
+    (group, id, weight, score·1e-6-rounded, rank) with rank 1..k per
+    group, ordered deterministically by (score desc, id asc) ties.
+    """
+    from pyspark.sql.window import Window
+
+    h = F.conv(
+        F.substring(shuffle_key(F.col(id_col), seed), 1, 15), 16, 10
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    w = F.col(weight_col).cast("double")
+    scored = (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .select(
+            group_col,
+            id_col,
+            F.col(weight_col).alias("weight"),
+            F.exp(F.log(u) / w).alias("_score"),
+        )
+    )
+    if salt_buckets > 1:
+        # deterministic salt from a DIFFERENT md5 span than the score
+        # bits (chars 17-20) so salt and score are independent.
+        salt = F.conv(
+            F.substring(shuffle_key(F.col(id_col), seed), 17, 4), 16, 10
+        ).cast("long") % F.lit(salt_buckets)
+        scored = (
+            scored.withColumn("_salt", salt)
+            .withColumn(
+                "_cr",
+                F.row_number().over(
+                    Window.partitionBy(group_col, "_salt").orderBy(
+                        F.col("_score").desc(), F.col(id_col).asc()
+                    )
+                ),
+            )
+            .filter(F.col("_cr") <= k)
+            .drop("_salt", "_cr")
+        )
+    final = Window.partitionBy(group_col).orderBy(
+        F.col("_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(final))
+        .filter(F.col("rank") <= k)
+        .select(
+            group_col,
+            id_col,
+            "weight",
+            F.round(F.col("_score"), 6).alias("score"),
+            "rank",
+        )
+    )

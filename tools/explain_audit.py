@@ -64,6 +64,9 @@ CHECKS = {
     # top-k selection must run as TakeOrderedAndProject (per-partition
     # heaps merged on the driver), never a global Sort
     "take_ordered": lambda p: "TakeOrderedAndProject" in p,
+    # pure per-row projections (e.g. the magic-byte sniff) must not
+    # shuffle at all — zero Exchange nodes in the formatted plan
+    "no_exchange": lambda p: not re.search(r"^\(\d+\) Exchange", p, re.M),
     # blocked pair-mining must plan as an equi-join on the blocking
     # key, never a cartesian with the verifier in the condition
     "no_cartesian": lambda p: "CartesianProduct" not in p
@@ -737,6 +740,23 @@ def main() -> None:
         "never a global sort, pure JVM)",
         e.queries()["weighted_sample"](spark, sf),
         ["wholestage_codegen", "no_python_udf", "take_ordered"],
+        out,
+    )
+
+    audit(
+        "group_weighted_sample (per-source budgeted A-ES, two-phase "
+        "salted top-k — no task sorts a whole source, pure JVM)",
+        e.queries()["group_weighted_sample"](spark, sf),
+        ["wholestage_codegen", "no_python_udf", "no_cartesian",
+         "window_group_limit"],
+        out,
+    )
+
+    audit(
+        "format_sniff (magic-byte ingest audit: one codegen projection "
+        "over hex(first 12 bytes), no shuffle, no Python)",
+        e.queries()["format_sniff"](spark, sf),
+        ["wholestage_codegen", "no_python_udf", "no_exchange"],
         out,
     )
 
