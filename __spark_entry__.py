@@ -3413,6 +3413,28 @@ def q_image_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_quality_report(df.drop("klass", "w", "h"))
 
 
+def q_caption_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption↔image consistency audit (multimodal/consistency.py) —
+    the cross-modal label-noise scan: per row, how many distinct
+    captions does this row's image content carry (re-captioned
+    reposts) and on how many distinct images does this row's caption
+    appear (stock/SEO boilerplate)? Two single-column distinct
+    aggregations over (sha256(bytes), caption) keys + two joins back;
+    the payload leaves the scan only as its sha. Runs on a dedicated
+    structured corpus (singles, exact dups, 3-caption conflicts,
+    4-image stock captions, and a mixed 'both' group whose row-level
+    statuses differ by side). The oracle groups by the BLOB itself
+    (DuckDB cannot hash blobs) — equal answers prove sha-keying is a
+    faithful stand-in for byte identity."""
+    from dedup_spark.fixtures.materialize import (
+        fixture_caption_audit_parquet,
+    )
+    from dedup_spark.multimodal.consistency import caption_image_consistency
+
+    df = spark.read.parquet(fixture_caption_audit_parquet())
+    return caption_image_consistency(df.drop("klass"))
+
+
 SWEEP_R = 8  # max Hamming distance the threshold sweep evaluates
 
 
@@ -3857,6 +3879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_weighted_sample": q_group_weighted_sample,
         "format_sniff": q_format_sniff,
         "phash_threshold_sweep": q_phash_threshold_sweep,
+        "caption_consistency": q_caption_consistency,
         # --- last driver-checked in round 3 ---
         "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
@@ -4043,6 +4066,11 @@ nr AS (SELECT doc_id, sqrt(CAST(sum(cnt*cnt) AS DOUBLE)) AS nrm
     from dedup_spark.fixtures.materialize import fixture_sniff_parquet
 
     sniff_fixture = f"read_parquet('{fixture_sniff_parquet()}')"
+    from dedup_spark.fixtures.materialize import (
+        fixture_caption_audit_parquet,
+    )
+
+    capaudit_fixture = f"read_parquet('{fixture_caption_audit_parquet()}')"
     from dedup_spark.fixtures.materialize import fixture_avi_parquet
     from dedup_spark.multimodal.avi import (
         AVI_CHUNK,
@@ -6210,6 +6238,31 @@ d AS (
   FROM s
 )
 SELECT image_id, fmt, sniffed_fmt, fmt = sniffed_fmt AS matches FROM d
+""",
+        # caption consistency: the oracle groups by the BLOB itself —
+        # equal answers prove sha-keying stands in for byte identity
+        "caption_consistency": f"""
+WITH k AS (
+  SELECT image_id, bytes, caption FROM {capaudit_fixture}
+),
+pi AS (
+  SELECT bytes AS b, count(DISTINCT caption) AS n_captions
+  FROM k GROUP BY bytes
+),
+pc AS (
+  SELECT caption AS c, count(DISTINCT bytes) AS n_images
+  FROM k GROUP BY caption
+)
+SELECT k.image_id,
+       CAST(pi.n_captions AS BIGINT) AS n_captions,
+       CAST(pc.n_images AS BIGINT) AS n_images,
+       CASE
+         WHEN pi.n_captions > 1 AND pc.n_images > 1 THEN 'both'
+         WHEN pi.n_captions > 1 THEN 'caption_conflict'
+         WHEN pc.n_images > 1 THEN 'stock_caption'
+         ELSE 'consistent'
+       END AS status
+FROM k JOIN pi ON pi.b = k.bytes JOIN pc ON pc.c = k.caption
 """,
         # threshold sweep: the oracle does the quadratic self join the
         # engine's banded tier avoids — bit_count(xor) on the same

@@ -139,6 +139,8 @@ HEADLINE = [
     "format_sniff",
     # round-5: pHash threshold-sweep eval curve (banded tier + truth)
     "phash_threshold_sweep",
+    # round-5: caption<->image label-noise audit (sha/caption aggs)
+    "caption_consistency",
     # round-5: per-line language segmentation (mixed-doc detection)
     "lang_segmentation",
     # round-5: brightness/rescale-invariant dHash dedup (pinned

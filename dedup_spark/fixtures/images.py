@@ -660,3 +660,67 @@ def generate_sniff_corpus(n: int = 60, seed: int = 29) -> pd.DataFrame:
     return pd.DataFrame(
         rows, columns=["image_id", "bytes", "fmt", "klass", "expected"]
     )
+
+
+def generate_caption_audit_corpus(seed: int = 31) -> pd.DataFrame:
+    """Structured corpus for the caption↔image consistency audit.
+    Image+caption pairs arrive from many crawls; the curation questions
+    are 'does this image carry conflicting alt-texts?' (re-captioned
+    reposts — a label-noise source for caption-supervised training)
+    and 'is this caption a stock string pasted on many images?'
+    ('stock photo', SEO spam — near-worthless supervision). Classes:
+      * 'single'    — unique image, unique caption (consistent)
+      * 'exact_dup' — same bytes AND same caption twice (consistent:
+        duplication is the exact tier's business, not label noise)
+      * 'conflict'  — one image under 3 different captions
+      * 'stock'     — one caption across 4 different images
+      * 'both'      — an image with 2 captions, one of which is also
+        used by 2 OTHER images (row-level status depends on which side
+        of the group a row sits — the test pins all of them)
+    Columns: (image_id, bytes, caption, klass)."""
+    rows = []
+
+    def img(tag: str, w: int = 10, h: int = 8) -> bytes:
+        return encode_ppm(_smooth_image(f"{seed}:{tag}".encode(), w, h))
+
+    def cap(tag: str, n: int = 6) -> str:
+        idx = _digest_stream(f"{seed}:cap:{tag}".encode(), n)
+        return " ".join(_VOCAB[b % len(_VOCAB)] for b in idx)
+
+    k = 0
+
+    def add(data: bytes, caption: str, klass: str) -> None:
+        nonlocal k
+        rows.append((f"ca{k:04d}", data, caption, klass))
+        k += 1
+
+    for i in range(10):
+        add(img(f"single{i}"), cap(f"single{i}"), "single")
+    for i in range(4):
+        b, c = img(f"dup{i}"), cap(f"dup{i}")
+        add(b, c, "exact_dup")
+        add(b, c, "exact_dup")
+    for i in range(3):
+        b = img(f"conflict{i}")
+        for j in range(3):
+            add(b, cap(f"conflict{i}:{j}"), "conflict")
+    for i in range(2):
+        c = cap(f"stock{i}")
+        for j in range(4):
+            add(img(f"stock{i}:{j}"), c, "stock")
+    # 'both': image B under captions s and x; s also on images I1, I2
+    b_img, s_cap = img("both:B"), cap("both:s")
+    add(b_img, s_cap, "both")
+    add(b_img, cap("both:x"), "both")
+    add(img("both:I1"), s_cap, "both")
+    add(img("both:I2"), s_cap, "both")
+
+    pdf = pd.DataFrame(rows, columns=["image_id", "bytes", "caption", "klass"])
+    # structure asserts: no accidental cross-class collisions
+    assert pdf["image_id"].is_unique
+    n_img = pdf.groupby(pdf["bytes"].apply(hash))["caption"].nunique()
+    assert n_img.max() == 3  # the conflict groups, nothing larger
+    assert pdf.groupby("caption")["bytes"].apply(
+        lambda s: s.apply(hash).nunique()
+    ).max() == 4  # the stock groups, nothing larger
+    return pdf

@@ -521,3 +521,32 @@ def fixture_sniff_parquet(params: dict | None = None) -> str:
         names=["image_id", "bytes", "fmt", "klass", "expected"],
     )
     return _write_atomic(table, out_dir, path)
+
+
+CAPAUDIT_PARAMS = dict(seed=31)
+
+
+def fixture_caption_audit_parquet(params: dict | None = None) -> str:
+    """Pinned structured corpus (fixtures/images.py
+    generate_caption_audit_corpus) for the caption↔image consistency
+    audit. `klass` is generator ground truth for tests only."""
+    import pyarrow as pa
+
+    from dedup_spark.fixtures.images import generate_caption_audit_corpus
+
+    params = dict(CAPAUDIT_PARAMS if params is None else params)
+    out_dir = os.path.join(FIXTURE_ROOT, "capaudit_" + _params_tag(params))
+    path = os.path.join(out_dir, "images.parquet")
+    if os.path.exists(path):
+        return path
+    pdf = generate_caption_audit_corpus(**params)
+    table = pa.Table.from_arrays(
+        [
+            pa.array(pdf["image_id"], type=pa.string()),
+            pa.array(pdf["bytes"], type=pa.binary()),
+            pa.array(pdf["caption"], type=pa.string()),
+            pa.array(pdf["klass"], type=pa.string()),
+        ],
+        names=["image_id", "bytes", "caption", "klass"],
+    )
+    return _write_atomic(table, out_dir, path)

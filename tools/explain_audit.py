@@ -771,6 +771,15 @@ def main() -> None:
     )
 
     audit(
+        "caption_consistency (two single-column distinct aggs over "
+        "(sha, caption) keys + joins back; payload never shuffled)",
+        e.queries()["caption_consistency"](spark, sf),
+        ["wholestage_codegen", "no_python_udf", "no_expand",
+         "no_payload_in_exchange"],
+        out,
+    )
+
+    audit(
         "lang_segmentation (explode + per-line projection + two "
         "combinable aggs, pure JVM)",
         e.queries()["lang_segmentation"](spark, sf),
