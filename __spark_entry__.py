@@ -3101,6 +3101,27 @@ def q_rescale_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return thumbprint_clusters(df.drop("src_id"))
 
 
+def q_border_crop_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Border/pad-invariant image dedup (multimodal/crop.py
+    border_trim_clusters): the same image re-published inside a
+    uniform frame — thumbnail borders, letterbox bars, watermark mats
+    — collapses into one cluster via the content-box sha. Byte dedup,
+    the (phash,length) pre-group, pixel-sha AND the rescale thumbprint
+    all miss it (padding changes bytes, length, buffer, and every
+    point-sample grid). Trimming a uniform pad recovers the original
+    buffer EXACTLY, so the signature is an exactness contract, not a
+    similarity heuristic; the fixture generator independently re-trims
+    every variant and asserts base recovery + cross-source
+    distinctness, making the oracle's min(image_id)-per-source the
+    full value-checked cluster assignment (the engine never sees
+    src_id)."""
+    from dedup_spark.fixtures.materialize import fixture_border_parquet
+    from dedup_spark.multimodal.crop import border_trim_clusters
+
+    df = spark.read.parquet(fixture_border_parquet())
+    return border_trim_clusters(df.drop("src_id"))
+
+
 def q_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brightness/rescale-invariant image dedup (multimodal/dhash.py
     dhash_clusters): the same image stored brightness-shifted (+15 /
@@ -3880,6 +3901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_sniff": q_format_sniff,
         "phash_threshold_sweep": q_phash_threshold_sweep,
         "caption_consistency": q_caption_consistency,
+        "border_crop_dedup": q_border_crop_dedup,
         # --- last driver-checked in round 3 ---
         "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
@@ -4086,6 +4108,9 @@ nr AS (SELECT doc_id, sqrt(CAST(sum(cnt*cnt) AS DOUBLE)) AS nrm
     )
 
     rescale_fixture = f"read_parquet('{fixture_rescale_parquet()}')"
+    from dedup_spark.fixtures.materialize import fixture_border_parquet
+
+    border_fixture = f"read_parquet('{fixture_border_parquet()}')"
     exif_fixture = f"read_parquet('{fixture_exif_parquet()}')"
     from dedup_spark.fixtures.materialize import (
         fixture_dhash_parquet,
@@ -4455,6 +4480,14 @@ GROUP BY cm.video_id
 SELECT image_id, TRUE AS ok,
        min(image_id) OVER (PARTITION BY src_id) AS cluster_id
 FROM {rescale_fixture}
+""",
+        # border dedup: group-by-source is the full value-checked
+        # assignment — the generator asserted trim recovers the base
+        # and sources are content-distinct; the engine sees pixels only
+        "border_crop_dedup": f"""
+SELECT image_id, TRUE AS ok,
+       min(image_id) OVER (PARTITION BY src_id) AS cluster_id
+FROM {border_fixture}
 """,
         # brightness/rescale-invariant dHash dedup: exact-integer
         # cross-product comparisons cancel uniform shifts and composing

@@ -141,6 +141,8 @@ HEADLINE = [
     "phash_threshold_sweep",
     # round-5: caption<->image label-noise audit (sha/caption aggs)
     "caption_consistency",
+    # round-5: border/pad-invariant dedup (content-box sha clusters)
+    "border_crop_dedup",
     # round-5: per-line language segmentation (mixed-doc detection)
     "lang_segmentation",
     # round-5: brightness/rescale-invariant dHash dedup (pinned

@@ -724,3 +724,73 @@ def generate_caption_audit_corpus(seed: int = 31) -> pd.DataFrame:
         lambda s: s.apply(hash).nunique()
     ).max() == 4  # the stock groups, nothing larger
     return pdf
+
+
+def _pad_image(px: np.ndarray, top: int, bottom: int, left: int,
+               right: int, color: tuple[int, int, int]) -> np.ndarray:
+    h, w, _ = px.shape
+    out = np.empty((h + top + bottom, w + left + right, 3), dtype=np.uint8)
+    out[:, :] = np.array(color, dtype=np.uint8)
+    out[top : top + h, left : left + w] = px
+    return out
+
+
+def generate_border_corpus(n_src: int = 30, seed: int = 37) -> pd.DataFrame:
+    """Uniform-border variants of each source image — the border/pad
+    dedup fixture. Per source: the original plus symmetric 2px black,
+    5px white, asymmetric (3/1/2/4) colored, and letterbox (4px
+    top+bottom only) paddings. The generator INDEPENDENTLY re-trims
+    every variant with plain slicing and ASSERTS it recovers the base
+    pixels exactly, asserts the base itself is trim-stable (no
+    accidental uniform outer ring), and asserts cross-source content
+    distinctness — so group-by-source IS the oracle, provided the
+    engine's trim rule matches this one. Columns:
+    (image_id, src_id, bytes, w, h, fmt='ppm')."""
+
+    def _ref_trim(px: np.ndarray) -> np.ndarray:
+        c = px[0, 0]
+        r0, r1 = 0, px.shape[0]
+        while r0 < r1 and (px[r0] == c).all():
+            r0 += 1
+        if r0 == r1:
+            return px
+        while (px[r1 - 1] == c).all():
+            r1 -= 1
+        c0, c1 = 0, px.shape[1]
+        while (px[r0:r1, c0] == c).all():
+            c0 += 1
+        while (px[r0:r1, c1 - 1] == c).all():
+            c1 -= 1
+        return px[r0:r1, c0:c1]
+
+    variants = (
+        ("orig", (0, 0, 0, 0), (0, 0, 0)),
+        ("pad2k", (2, 2, 2, 2), (0, 0, 0)),
+        ("pad5w", (5, 5, 5, 5), (255, 255, 255)),
+        ("asym", (3, 1, 2, 4), (37, 99, 171)),
+        ("lbox", (4, 4, 0, 0), (0, 0, 0)),
+    )
+    dims = ((24, 16), (32, 24), (20, 20))
+    rows = []
+    seen: set[bytes] = set()
+    for i in range(n_src):
+        sid = f"b{i:04d}"
+        w, h = dims[i % len(dims)]
+        base = _smooth_image(f"{seed}:{sid}".encode(), w, h)
+        assert _ref_trim(base).shape == base.shape, f"{sid}: base not trim-stable"
+        key = base.tobytes()
+        assert key not in seen, f"{sid}: cross-source collision"
+        seen.add(key)
+        for name, (t, b, l, r), color in variants:
+            px = _pad_image(base, t, b, l, r, color) if name != "orig" else base
+            got = _ref_trim(px)
+            assert got.shape == base.shape and (got == base).all(), (
+                f"{sid}#{name}: trim does not recover the base"
+            )
+            rows.append(
+                (f"{sid}#{name}", sid, encode_ppm(px),
+                 px.shape[1], px.shape[0], "ppm")
+            )
+    return pd.DataFrame(
+        rows, columns=["image_id", "src_id", "bytes", "w", "h", "fmt"]
+    )

@@ -550,3 +550,35 @@ def fixture_caption_audit_parquet(params: dict | None = None) -> str:
         names=["image_id", "bytes", "caption", "klass"],
     )
     return _write_atomic(table, out_dir, path)
+
+
+BORDER_PARAMS = dict(n_src=30, seed=37)
+
+
+def fixture_border_parquet(params: dict | None = None) -> str:
+    """Pinned uniform-border corpus (fixtures/images.py
+    generate_border_corpus) for the border/pad-invariant dedup tier.
+    `src_id` is generator ground truth — the oracle's partition key,
+    never shown to the engine."""
+    import pyarrow as pa
+
+    from dedup_spark.fixtures.images import generate_border_corpus
+
+    params = dict(BORDER_PARAMS if params is None else params)
+    out_dir = os.path.join(FIXTURE_ROOT, "border_" + _params_tag(params))
+    path = os.path.join(out_dir, "images.parquet")
+    if os.path.exists(path):
+        return path
+    pdf = generate_border_corpus(**params)
+    table = pa.Table.from_arrays(
+        [
+            pa.array(pdf["image_id"], type=pa.string()),
+            pa.array(pdf["src_id"], type=pa.string()),
+            pa.array(pdf["bytes"], type=pa.binary()),
+            pa.array(pdf["w"], type=pa.int32()),
+            pa.array(pdf["h"], type=pa.int32()),
+            pa.array(pdf["fmt"], type=pa.string()),
+        ],
+        names=["image_id", "src_id", "bytes", "w", "h", "fmt"],
+    )
+    return _write_atomic(table, out_dir, path)

@@ -780,6 +780,15 @@ def main() -> None:
     )
 
     audit(
+        "border_crop_dedup (content-box-sha projection, sha-keyed "
+        "groupBy; the Arrow decode stage sits behind the "
+        "localCheckpoint lineage cut, like the thumbprint tier)",
+        e.queries()["border_crop_dedup"](spark, sf),
+        ["no_payload_in_exchange", "no_expand"],
+        out,
+    )
+
+    audit(
         "lang_segmentation (explode + per-line projection + two "
         "combinable aggs, pure JVM)",
         e.queries()["lang_segmentation"](spark, sf),
