@@ -3122,6 +3122,80 @@ def q_border_crop_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return border_trim_clusters(df.drop("src_id"))
 
 
+def q_best_copy_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection — dedup that keeps the BEST
+    copy, not the shortest-named one: over the rescale corpus's
+    thumbprint clusters (the same photo at 64²/32²/16²), the canonical
+    is the highest-resolution member (max w·h, ties broken min id).
+    The reference keeps the shortest path (src/output.rs argmin rule,
+    mirrored in operators/canonical.py); a training pipeline keeps the
+    most pixels. Selection is two combinable aggregations (max pixels
+    per cluster → min id among the maxima) + joins — never a window
+    over members, so a duplicate flood cannot pin a task. The oracle
+    recomputes the full policy from the stored w/h per source."""
+    from dedup_spark.fixtures.materialize import fixture_rescale_parquet
+    from dedup_spark.multimodal.decode import thumbprint_clusters
+
+    df = spark.read.parquet(fixture_rescale_parquet())
+    asg = thumbprint_clusters(df.drop("src_id"))
+    dims = df.select(
+        "image_id", (F.col("w").cast("long") * F.col("h")).alias("pixels")
+    )
+    j = asg.join(dims, "image_id")
+    best_px = j.groupBy("cluster_id").agg(F.max("pixels").alias("_bp"))
+    best = (
+        j.join(best_px, "cluster_id")
+        .filter(F.col("pixels") == F.col("_bp"))
+        .groupBy("cluster_id")
+        .agg(F.min("image_id").alias("_canon"))
+    )
+    return (
+        j.join(best, "cluster_id")
+        .select(
+            "image_id",
+            "cluster_id",
+            "pixels",
+            (F.col("image_id") == F.col("_canon")).alias("is_canonical"),
+        )
+    )
+
+
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicate-rate rollup — the ops dashboard a dedup
+    service reports per crawl/provider: for every source, how many
+    documents, how many are normalization-equal duplicates of ANY
+    document in the whole corpus (cross-source aware — a feed that
+    mirrors another source scores dirty even if internally unique),
+    and the dup rate. One fingerprint groupBy + an AQE-skew-safe join
+    back + a tiny per-source aggregation. The oracle groups by the
+    normalized TEXT itself — equal answers also re-prove the sha
+    fingerprint stands in for normalization equality."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", TX.fingerprint(F.col("text")).alias("fp")
+    )
+    counts = docs.groupBy("fp").agg(F.count(F.lit(1)).alias("n_fp")).withColumnRenamed("fp", "_cfp")
+    return (
+        # null-SAFE join: a corpus with NULL texts still counts them as
+        # one normalization group (the oracle's OR-both-null mirrors it)
+        docs.join(
+            counts, F.col("fp").eqNullSafe(F.col("_cfp")), "inner"
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_fp") >= 2).cast("long")).alias("n_dup_docs"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_dup_docs").cast("long").alias("n_dup_docs"),
+            F.round(F.col("n_dup_docs") / F.col("n_docs"), 6).alias(
+                "dup_rate"
+            ),
+        )
+    )
+
+
 def q_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brightness/rescale-invariant image dedup (multimodal/dhash.py
     dhash_clusters): the same image stored brightness-shifted (+15 /
@@ -3902,6 +3976,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_threshold_sweep": q_phash_threshold_sweep,
         "caption_consistency": q_caption_consistency,
         "border_crop_dedup": q_border_crop_dedup,
+        "best_copy_canonical": q_best_copy_canonical,
+        "dup_rate_by_source": q_dup_rate_by_source,
         # --- last driver-checked in round 3 ---
         "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
@@ -4480,6 +4556,37 @@ GROUP BY cm.video_id
 SELECT image_id, TRUE AS ok,
        min(image_id) OVER (PARTITION BY src_id) AS cluster_id
 FROM {rescale_fixture}
+""",
+        # best-copy canonical: full policy recomputed from stored w/h
+        "best_copy_canonical": f"""
+WITH r AS (
+  SELECT image_id, src_id, CAST(w AS BIGINT) * h AS pixels
+  FROM {rescale_fixture}
+),
+roots AS (SELECT src_id, min(image_id) AS cluster_id FROM r GROUP BY src_id),
+b AS (SELECT src_id, max(pixels) AS bp FROM r GROUP BY src_id),
+c AS (
+  SELECT r.src_id, min(r.image_id) AS canon
+  FROM r JOIN b ON b.src_id = r.src_id AND r.pixels = b.bp
+  GROUP BY r.src_id
+)
+SELECT r.image_id, roots.cluster_id, r.pixels,
+       r.image_id = c.canon AS is_canonical
+FROM r JOIN roots ON roots.src_id = r.src_id
+       JOIN c ON c.src_id = r.src_id
+""",
+        # dup-rate rollup: group by the normalized TEXT itself (re-
+        # proving the sha fingerprint stands in for norm equality)
+        "dup_rate_by_source": f"""
+WITH n AS (SELECT doc_id, source, {norm_sql('"text"')} AS nt FROM documents),
+c AS (SELECT nt, count(*) AS n_fp FROM n GROUP BY nt)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN c.n_fp >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       round(sum(CASE WHEN c.n_fp >= 2 THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS dup_rate
+FROM n JOIN c ON (n.nt = c.nt OR (n.nt IS NULL AND c.nt IS NULL))
+GROUP BY source
 """,
         # border dedup: group-by-source is the full value-checked
         # assignment — the generator asserted trim recovers the base

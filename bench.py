@@ -143,6 +143,10 @@ HEADLINE = [
     "caption_consistency",
     # round-5: border/pad-invariant dedup (content-box sha clusters)
     "border_crop_dedup",
+    # round-5: best-copy canonical (max-pixels argmax, agg-only)
+    "best_copy_canonical",
+    # round-5: per-source dup-rate dashboard (fingerprint rollup)
+    "dup_rate_by_source",
     # round-5: per-line language segmentation (mixed-doc detection)
     "lang_segmentation",
     # round-5: brightness/rescale-invariant dHash dedup (pinned

@@ -789,6 +789,22 @@ def main() -> None:
     )
 
     audit(
+        "best_copy_canonical (two combinable aggs — max pixels, then "
+        "min id among maxima — never a window over cluster members)",
+        e.queries()["best_copy_canonical"](spark, sf),
+        ["no_payload_in_exchange", "no_expand"],
+        out,
+    )
+
+    audit(
+        "dup_rate_by_source (fingerprint groupBy + skew-safe join "
+        "back + tiny per-source agg, pure JVM)",
+        e.queries()["dup_rate_by_source"](spark, sf),
+        ["wholestage_codegen", "no_python_udf", "no_expand"],
+        out,
+    )
+
+    audit(
         "lang_segmentation (explode + per-line projection + two "
         "combinable aggs, pure JVM)",
         e.queries()["lang_segmentation"](spark, sf),
