@@ -536,6 +536,76 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
 
 
+HARD_LO, HARD_HI = 0.05, 0.7  # the hard-negative similarity band
+
+
+def q_hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training — the pair class
+    dedup THROWS AWAY but curriculum builders want: documents that
+    genuinely share phrases (3-gram Jaccard >= 0.05 — above the
+    stopword-shingle noise floor, where this corpus's non-dup overlap
+    concentrates at < 0.02) yet are not duplicates (< 0.7, the dedup
+    threshold). Same inverted-index join
+    as the exact near-dup tier with the identical posting cap; the
+    band filter runs on the UNROUNDED ratio on both engines (exact-int
+    division → identical doubles), so the boundary is corpus-
+    independent, not rounding luck."""
+    from dedup_spark.operators.suffix import exact_jaccard_pairs
+
+    pairs = exact_jaccard_pairs(
+        _docs(spark, sf_dir),
+        id_col="doc_id",
+        text_col="text",
+        threshold=HARD_LO,
+        min_tokens=K,
+        max_posting=POSTING_CAP,
+    )
+    return pairs.filter(F.col("jaccard") < HARD_HI).select(
+        "id1", "id2", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+SHARDS = 16  # writer-plan fan-out for the gate
+
+
+def q_output_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writer-side shard planning — the last physical decision a
+    100 TB job makes: assign every row to one of N output shards by a
+    SEEDED md5 key (deterministic, resumable — rerunning a failed
+    writer re-produces byte-identical shard membership, unlike
+    hash(rand)) and report per-shard doc counts, char mass, and fill
+    factor vs the ideal 1/N split — the artifact that tells you
+    whether the shard key needs salting before you burn a day writing
+    skewed files. One projection + one N-row aggregation + a broadcast
+    scalar join."""
+    from dedup_spark.operators.ordering import shuffle_key as _ord_shuffle_key
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    h = F.conv(
+        F.substring(_ord_shuffle_key(F.col("doc_id"), "shard-0"), 1, 15),
+        16, 10,
+    ).cast("long")
+    per = (
+        docs.select((h % F.lit(SHARDS)).alias("shard"), "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+    tot = per.agg(F.sum("total_chars").alias("_tot"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "total_chars",
+        F.round(
+            F.col("total_chars") * SHARDS / F.col("_tot"), 6
+        ).alias("fill_factor"),
+    )
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH banding → candidates → exact-Jaccard verify, at the
     band-safe verified threshold (see MINHASH_T note): candidate miss
@@ -3978,6 +4048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "border_crop_dedup": q_border_crop_dedup,
         "best_copy_canonical": q_best_copy_canonical,
         "dup_rate_by_source": q_dup_rate_by_source,
+        "hard_negative_pairs": q_hard_negative_pairs,
+        "output_shard_plan": q_output_shard_plan,
         # --- last driver-checked in round 3 ---
         "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
@@ -4745,6 +4817,33 @@ FROM {fixture} a JOIN {fixture} b
         "ngram_jaccard_pairs": _oracle_jaccard(
             JACCARD_T, _ORACLE_SHINGLE_PAIRS_CAPPED
         ),
+        # hard-negative band: identical capped CTE, band filter on the
+        # UNROUNDED ratio (exact-int division → identical doubles)
+        "hard_negative_pairs": _ORACLE_SHINGLE_PAIRS_CAPPED
+        + f"""
+SELECT id1, id2, round(inter / (n1 + n2 - inter), 6) AS jaccard
+FROM scored
+WHERE inter / (n1 + n2 - inter) >= {HARD_LO}
+  AND inter / (n1 + n2 - inter) < {HARD_HI}
+""",
+        # shard plan: identical md5 shard key + the broadcast total
+        "output_shard_plan": f"""
+WITH s AS (
+  SELECT ('0x' || substring(md5('shard-0:' || doc_id), 1, 15))::BIGINT
+           % {SHARDS} AS shard,
+         n_chars
+  FROM documents
+),
+per AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM s GROUP BY shard
+)
+SELECT shard, n_docs, total_chars,
+       round(total_chars * {SHARDS} * 1.0
+             / (SELECT sum(total_chars) FROM per), 6) AS fill_factor
+FROM per
+""",
         # the LSH tier has no posting cap (band floods star-link
         # instead), so its oracle stays uncapped
         "minhash_lsh_pairs": _oracle_jaccard(MINHASH_T, _ORACLE_SHINGLE_PAIRS),

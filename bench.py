@@ -147,6 +147,10 @@ HEADLINE = [
     "best_copy_canonical",
     # round-5: per-source dup-rate dashboard (fingerprint rollup)
     "dup_rate_by_source",
+    # round-5: hard-negative band mining (inverted-index + band)
+    "hard_negative_pairs",
+    # round-5: writer shard plan (seeded md5 key + fill factors)
+    "output_shard_plan",
     # round-5: per-line language segmentation (mixed-doc detection)
     "lang_segmentation",
     # round-5: brightness/rescale-invariant dHash dedup (pinned

@@ -805,6 +805,22 @@ def main() -> None:
     )
 
     audit(
+        "hard_negative_pairs (capped inverted-index join, band filter "
+        "— the near-dup tier's plan at a different threshold)",
+        e.queries()["hard_negative_pairs"](spark, sf),
+        ["wholestage_codegen", "no_python_udf", "no_cartesian"],
+        out,
+    )
+
+    audit(
+        "output_shard_plan (seeded md5 shard key, one N-row agg + "
+        "broadcast scalar, pure JVM)",
+        e.queries()["output_shard_plan"](spark, sf),
+        ["wholestage_codegen", "no_python_udf", "no_expand"],
+        out,
+    )
+
+    audit(
         "lang_segmentation (explode + per-line projection + two "
         "combinable aggs, pure JVM)",
         e.queries()["lang_segmentation"](spark, sf),
