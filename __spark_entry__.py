@@ -3192,6 +3192,25 @@ def q_border_crop_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return border_trim_clusters(df.drop("src_id"))
 
 
+def q_shared_patch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-patch (watermark-family) mining (multimodal/patches.py):
+    image pairs sharing an identical non-flat aligned 8×8 pixel block
+    — the same logo pasted into otherwise-unrelated pictures, which
+    every whole-image tier calls unrelated. Planted-logo corpus: the
+    generator asserts the two logos are distinct and every OTHER
+    aligned patch is globally unique, so the oracle's same-logo pair
+    join is the full expected pair set — including the deliberately
+    MISALIGNED logo class producing NO pairs (the stride limitation,
+    pinned, not hidden). Plan: Arrow projection → (sha,id) shuffle →
+    posting-capped self-join → count agg (the caption shingle tier's
+    shape)."""
+    from dedup_spark.fixtures.materialize import fixture_patch_parquet
+    from dedup_spark.multimodal.patches import shared_patch_pairs
+
+    df = spark.read.parquet(fixture_patch_parquet())
+    return shared_patch_pairs(df.drop("logo", "klass"))
+
+
 def q_best_copy_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware canonical selection — dedup that keeps the BEST
     copy, not the shortest-named one: over the rescale corpus's
@@ -4050,6 +4069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_rate_by_source": q_dup_rate_by_source,
         "hard_negative_pairs": q_hard_negative_pairs,
         "output_shard_plan": q_output_shard_plan,
+        "shared_patch_pairs": q_shared_patch_pairs,
         # --- last driver-checked in round 3 ---
         "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
@@ -4259,6 +4279,9 @@ nr AS (SELECT doc_id, sqrt(CAST(sum(cnt*cnt) AS DOUBLE)) AS nrm
     from dedup_spark.fixtures.materialize import fixture_border_parquet
 
     border_fixture = f"read_parquet('{fixture_border_parquet()}')"
+    from dedup_spark.fixtures.materialize import fixture_patch_parquet
+
+    patch_fixture = f"read_parquet('{fixture_patch_parquet()}')"
     exif_fixture = f"read_parquet('{fixture_exif_parquet()}')"
     from dedup_spark.fixtures.materialize import (
         fixture_dhash_parquet,
@@ -4628,6 +4651,14 @@ GROUP BY cm.video_id
 SELECT image_id, TRUE AS ok,
        min(image_id) OVER (PARTITION BY src_id) AS cluster_id
 FROM {rescale_fixture}
+""",
+        # shared patches: the generator asserted all non-logo aligned
+        # patches are globally unique, so same-logo pairs (each sharing
+        # exactly the one planted block) are the complete answer
+        "shared_patch_pairs": f"""
+SELECT a.image_id AS id1, b.image_id AS id2, CAST(1 AS BIGINT) AS n_shared
+FROM {patch_fixture} a JOIN {patch_fixture} b
+  ON a.logo = b.logo AND a.image_id < b.image_id
 """,
         # best-copy canonical: full policy recomputed from stored w/h
         "best_copy_canonical": f"""

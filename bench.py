@@ -151,6 +151,8 @@ HEADLINE = [
     "hard_negative_pairs",
     # round-5: writer shard plan (seeded md5 key + fill factors)
     "output_shard_plan",
+    # round-5: shared-patch watermark-family mining (posting-capped)
+    "shared_patch_pairs",
     # round-5: per-line language segmentation (mixed-doc detection)
     "lang_segmentation",
     # round-5: brightness/rescale-invariant dHash dedup (pinned

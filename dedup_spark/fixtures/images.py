@@ -794,3 +794,65 @@ def generate_border_corpus(n_src: int = 30, seed: int = 37) -> pd.DataFrame:
     return pd.DataFrame(
         rows, columns=["image_id", "src_id", "bytes", "w", "h", "fmt"]
     )
+
+
+def generate_patch_corpus(seed: int = 41) -> pd.DataFrame:
+    """Planted-logo corpus for shared-patch (watermark family) mining.
+    Classes: 8 images carry logo A and 6 carry logo B pasted at varied
+    GRID-ALIGNED 8×8 offsets; 4 carry logo A at a deliberately
+    MISALIGNED offset (the stride limitation, pinned: no pairs); 6 are
+    clean. Generation ASSERTS the contract the oracle relies on: the
+    two logos are non-flat and distinct, every aligned logo carrier
+    exposes the logo block exactly at its grid phase, and all OTHER
+    non-flat aligned patches are globally unique across the corpus (no
+    accidental links). Columns: (image_id, logo, bytes, w, h,
+    fmt='ppm', klass) — `logo` is NULL for misaligned + clean rows
+    (the oracle's pair key; the engine never sees it)."""
+    logo_a = _smooth_image(f"{seed}:logoA".encode(), 8, 8)
+    logo_b = _smooth_image(f"{seed}:logoB".encode(), 8, 8)
+    assert logo_a.max() > logo_a.min() and logo_b.max() > logo_b.min()
+    assert logo_a.tobytes() != logo_b.tobytes()
+
+    specs = []
+    for i in range(8):
+        specs.append((f"pa{i:04d}", "A", logo_a, (8 * (i % 3), 8 * (i % 2 + 1)), "aligned_a"))
+    for i in range(6):
+        specs.append((f"pb{i:04d}", "B", logo_b, (8 * (i % 2 + 1), 8 * (i % 3)), "aligned_b"))
+    for i in range(4):
+        specs.append((f"pm{i:04d}", None, logo_a, (8 * (i % 2) + 3, 8 + 5), "misaligned"))
+    for i in range(6):
+        specs.append((f"pc{i:04d}", None, None, None, "clean"))
+
+    rows = []
+    seen: dict[bytes, str] = {}
+    for iid, logo, blk, off, klass in specs:
+        w, h = 40, 32
+        base = _smooth_image(f"{seed}:{iid}".encode(), w, h).copy()
+        if blk is not None:
+            y, x = off
+            base[y : y + 8, x : x + 8] = blk
+        # contract asserts: walk this image's aligned non-flat patches
+        for y in range(0, h - 7, 8):
+            for x in range(0, w - 7, 8):
+                p = base[y : y + 8, x : x + 8]
+                if p.max() == p.min():
+                    continue
+                key = p.tobytes()
+                if logo is not None and key == blk.tobytes():
+                    continue  # the planted block itself
+                assert key not in seen, f"{iid}@{y},{x} collides with {seen[key]}"
+                seen[key] = iid
+        if logo is not None:
+            y, x = off
+            got = base[y : y + 8, x : x + 8]
+            assert (got == blk).all() and y % 8 == 0 and x % 8 == 0
+        if klass == "misaligned":
+            y, x = off
+            assert y % 8 != 0 or x % 8 != 0
+        rows.append(
+            (iid, logo, encode_ppm(base), w, h, "ppm", klass)
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["image_id", "logo", "bytes", "w", "h", "fmt", "klass"],
+    )

@@ -582,3 +582,36 @@ def fixture_border_parquet(params: dict | None = None) -> str:
         names=["image_id", "src_id", "bytes", "w", "h", "fmt"],
     )
     return _write_atomic(table, out_dir, path)
+
+
+PATCH_PARAMS = dict(seed=41)
+
+
+def fixture_patch_parquet(params: dict | None = None) -> str:
+    """Pinned planted-logo corpus (fixtures/images.py
+    generate_patch_corpus) for shared-patch mining. `logo` is the
+    oracle's pair key; `klass` is test ground truth — the engine sees
+    neither."""
+    import pyarrow as pa
+
+    from dedup_spark.fixtures.images import generate_patch_corpus
+
+    params = dict(PATCH_PARAMS if params is None else params)
+    out_dir = os.path.join(FIXTURE_ROOT, "patch_" + _params_tag(params))
+    path = os.path.join(out_dir, "images.parquet")
+    if os.path.exists(path):
+        return path
+    pdf = generate_patch_corpus(**params)
+    table = pa.Table.from_arrays(
+        [
+            pa.array(pdf["image_id"], type=pa.string()),
+            pa.array(pdf["logo"], type=pa.string()),
+            pa.array(pdf["bytes"], type=pa.binary()),
+            pa.array(pdf["w"], type=pa.int32()),
+            pa.array(pdf["h"], type=pa.int32()),
+            pa.array(pdf["fmt"], type=pa.string()),
+            pa.array(pdf["klass"], type=pa.string()),
+        ],
+        names=["image_id", "logo", "bytes", "w", "h", "fmt", "klass"],
+    )
+    return _write_atomic(table, out_dir, path)

@@ -821,6 +821,15 @@ def main() -> None:
     )
 
     audit(
+        "shared_patch_pairs (Arrow patch projection -> sha-keyed "
+        "posting-capped self-join -> count agg; payload never in an "
+        "Exchange — the caption shingle tier's plan over pixels)",
+        e.queries()["shared_patch_pairs"](spark, sf),
+        ["no_payload_in_exchange", "no_cartesian", "no_expand"],
+        out,
+    )
+
+    audit(
         "lang_segmentation (explode + per-line projection + two "
         "combinable aggs, pure JVM)",
         e.queries()["lang_segmentation"](spark, sf),
