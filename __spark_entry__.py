@@ -1586,6 +1586,80 @@ FROM b{i}"""
     return "WITH " + ",\n".join(stages) + "\n" + "\nUNION ALL\n".join(finals)
 
 
+def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION — the other half of bpe_merges: replay
+    the 6 learned merges over the distinct-word table (a fixed k-deep
+    replace chain, pure codegen — encoding never touches the corpus,
+    only the vocab) and report per-document n_words / n_tokens /
+    compression, the number a tokenizer change is judged by. The
+    oracle re-derives the SAME merges in unrolled SQL (the bpe_merges
+    machinery with the word carried through every stage) and reapplies
+    them, so training AND application are both value-gated end to
+    end."""
+    from dedup_spark.operators.bpe import (
+        bpe_merges,
+        doc_token_counts,
+        word_frequencies,
+    )
+
+    docs = _docs(spark, sf_dir)
+    m = bpe_merges(word_frequencies(docs), k=BPE_K).orderBy("rank").collect()
+    merges = [(r["sym_left"], r["sym_right"]) for r in m]
+    return doc_token_counts(docs, merges)
+
+
+def _bpe_encode_oracle_sql() -> str:
+    """Unrolled replay of the merge derivation WITH the word carried
+    through every stage, then per-doc token sums."""
+    stages = [
+        f"""t AS (
+  SELECT doc_id, {_TOKS} AS arr FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+),
+d AS (SELECT doc_id, u.tk AS word FROM t, UNNEST(arr) AS u(tk)),
+w0 AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+         chr(1) || array_to_string(string_split(word, ''), ' ' || chr(1))
+           AS seq
+  FROM d GROUP BY word
+)"""
+    ]
+    for i in range(BPE_K):
+        stages.append(
+            f"""p{i} AS (
+  SELECT q.sy[j] || ' ' || q.sy[j+1] AS pair, q.cnt
+  FROM (SELECT cnt, string_split(seq, ' ') AS sy FROM w{i}) q,
+       UNNEST(range(1, len(q.sy))) AS u(j)
+)"""
+        )
+        stages.append(
+            f"""b{i} AS (
+  SELECT pair, CAST(sum(cnt) AS BIGINT) AS freq FROM p{i}
+  GROUP BY pair ORDER BY freq DESC, pair ASC LIMIT 1
+)"""
+        )
+        stages.append(
+            f"""w{i + 1} AS (
+  SELECT w.word, w.cnt,
+         replace(w.seq, b.pair,
+                 chr(1) || replace(replace(b.pair, chr(1), ''), ' ', ''))
+           AS seq
+  FROM w{i} w, b{i} b
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(stages)
+        + f""",
+nt AS (SELECT word, len(string_split(seq, ' ')) AS n_tokens FROM w{BPE_K})
+SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(nt.n_tokens) AS BIGINT) AS n_tokens,
+       round(sum(nt.n_tokens) * 1.0 / count(*), 6) AS compression
+FROM d JOIN nt USING (word) GROUP BY d.doc_id
+"""
+    )
+
+
 def q_exact_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-span excision (operators/spandedup.py — the
     Lee et al. 2022 ExactSubstr corpus-cleaning stage, word-13-gram
@@ -4070,6 +4144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negative_pairs": q_hard_negative_pairs,
         "output_shard_plan": q_output_shard_plan,
         "shared_patch_pairs": q_shared_patch_pairs,
+        "bpe_encode_stats": q_bpe_encode_stats,
         # --- last driver-checked in round 3 ---
         "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
@@ -5762,6 +5837,7 @@ FROM s
         # BPE merges: unrolled k-round replay (counting, tie-break,
         # marked-string replacement) generated by the same loop
         "bpe_merges": _bpe_oracle_sql(),
+        "bpe_encode_stats": _bpe_encode_oracle_sql(),
         # URL dedup: re-derive every URL part with REGEXES (vs the
         # engine's Java-URI parse_url) — independent parsers must
         # emit the identical canonical string

@@ -153,6 +153,8 @@ HEADLINE = [
     "output_shard_plan",
     # round-5: shared-patch watermark-family mining (posting-capped)
     "shared_patch_pairs",
+    # round-5: BPE application (vocab-table replace chain + doc sums)
+    "bpe_encode_stats",
     # round-5: per-line language segmentation (mixed-doc detection)
     "lang_segmentation",
     # round-5: brightness/rescale-invariant dHash dedup (pinned

@@ -830,6 +830,14 @@ def main() -> None:
     )
 
     audit(
+        "bpe_encode_stats (k-deep replace chain over the DISTINCT-WORD "
+        "table + exploded-word join + per-doc agg, pure JVM)",
+        e.queries()["bpe_encode_stats"](spark, sf),
+        ["wholestage_codegen", "no_python_udf", "no_cartesian"],
+        out,
+    )
+
+    audit(
         "lang_segmentation (explode + per-line projection + two "
         "combinable aggs, pure JVM)",
         e.queries()["lang_segmentation"](spark, sf),
