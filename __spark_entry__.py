@@ -3359,6 +3359,26 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gps_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPS privacy scrub (multimodal/exif.py scrub_gps) — the
+    redaction a web corpus owes its subjects before training: remove
+    the EXIF GPS IFD (the 0x8825 pointer entry, the GPS IFD block, and
+    its external RATIONAL coordinate values, all zeroed IN PLACE —
+    length-preserving so every other absolute TIFF offset stays valid)
+    while leaving every other field intact. The report re-parses the
+    CLEANED bytes, proving removal (gps_after=false) and preservation
+    (make/model/orientation still parse) simultaneously. The oracle
+    derives had_gps from the raw hex IFD0 entry count (7 entries =
+    GPS-bearing layout) and recomputes the preserved fields at the
+    layout-dependent writer-asserted offsets — both endians, both
+    layouts."""
+    from dedup_spark.fixtures.materialize import fixture_gps_parquet
+    from dedup_spark.multimodal.exif import gps_scrub_report
+
+    df = spark.read.parquet(fixture_gps_parquet())
+    return gps_scrub_report(df.drop("endian", "has_gps", "fmt"))
+
+
 def q_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brightness/rescale-invariant image dedup (multimodal/dhash.py
     dhash_clusters): the same image stored brightness-shifted (+15 /
@@ -4145,6 +4165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "output_shard_plan": q_output_shard_plan,
         "shared_patch_pairs": q_shared_patch_pairs,
         "bpe_encode_stats": q_bpe_encode_stats,
+        "gps_scrub": q_gps_scrub,
         # --- last driver-checked in round 3 ---
         "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
@@ -4357,6 +4378,9 @@ nr AS (SELECT doc_id, sqrt(CAST(sum(cnt*cnt) AS DOUBLE)) AS nrm
     from dedup_spark.fixtures.materialize import fixture_patch_parquet
 
     patch_fixture = f"read_parquet('{fixture_patch_parquet()}')"
+    from dedup_spark.fixtures.materialize import fixture_gps_parquet
+
+    gps_fixture = f"read_parquet('{fixture_gps_parquet()}')"
     exif_fixture = f"read_parquet('{fixture_exif_parquet()}')"
     from dedup_spark.fixtures.materialize import (
         fixture_dhash_parquet,
@@ -4615,6 +4639,39 @@ SELECT image_id,
   CASE WHEN endian = 'none' THEN NULL
        ELSE decode(unhex(substr(hx, 241, 38))) END AS taken_at
 FROM fx
+""",
+        # GPS scrub: had_gps derived from the raw-hex IFD0 entry count
+        # (7 = GPS layout); preserved fields recomputed at the layout-
+        # dependent writer-asserted offsets; removal + length
+        # preservation pinned (any leftover GPS or moved byte flips a
+        # boolean and fails the hash)
+        "gps_scrub": f"""
+WITH fx AS (
+  SELECT image_id, hex(bytes) AS hx, endian FROM {gps_fixture}
+),
+d AS (
+  SELECT image_id, hx, endian,
+    CASE WHEN endian = 'none' THEN FALSE
+         WHEN endian = 'II'
+           THEN ('0x' || substr(hx, 43, 2) || substr(hx, 41, 2))::INT = 7
+         ELSE ('0x' || substr(hx, 41, 4))::INT = 7
+    END AS had_gps
+  FROM fx
+)
+SELECT image_id, TRUE AS scrub_ok, had_gps, FALSE AS gps_after,
+  CASE WHEN endian = 'none' THEN NULL
+       WHEN had_gps THEN decode(unhex(substr(hx, 221, 20)))
+       ELSE decode(unhex(substr(hx, 197, 20))) END AS make,
+  CASE WHEN endian = 'none' THEN NULL
+       WHEN had_gps THEN decode(unhex(substr(hx, 243, 20)))
+       ELSE decode(unhex(substr(hx, 219, 20))) END AS model,
+  CAST(CASE WHEN endian = 'II'
+            THEN ('0x' || substr(hx, 159, 2) || substr(hx, 157, 2))::INT
+            WHEN endian = 'MM'
+            THEN ('0x' || substr(hx, 157, 4))::INT
+       END AS INT) AS orientation,
+  TRUE AS len_preserved
+FROM d
 """,
         # quality estimation: extract the 64 zigzag luma steps from
         # raw hex at the writer-asserted offset (SOI 2 + APP0 18 + DQT

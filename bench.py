@@ -155,6 +155,8 @@ HEADLINE = [
     "shared_patch_pairs",
     # round-5: BPE application (vocab-table replace chain + doc sums)
     "bpe_encode_stats",
+    # round-5: EXIF GPS privacy scrub (in-place, length-preserving)
+    "gps_scrub",
     # round-5: per-line language segmentation (mixed-doc detection)
     "lang_segmentation",
     # round-5: brightness/rescale-invariant dHash dedup (pinned

@@ -856,3 +856,58 @@ def generate_patch_corpus(seed: int = 41) -> pd.DataFrame:
         rows,
         columns=["image_id", "logo", "bytes", "w", "h", "fmt", "klass"],
     )
+
+
+def generate_gps_corpus(n: int = 36, seed: int = 43) -> pd.DataFrame:
+    """GPS-privacy corpus for the scrub tier: rows cycle through
+    gps-bearing EXIF (both TIFF endians, varied DMS coordinates and
+    hemisphere refs), exif-without-gps, and exif-less JPEGs. All rows
+    are structurally valid JPEGs — malformed/non-JPEG survival is the
+    test suite's job, keeping every gate boolean total. Columns:
+    (image_id, bytes, fmt='jpeg', endian, has_gps)."""
+    from dedup_spark.multimodal.exif import (
+        build_exif_app1,
+        build_exif_app1_gps,
+        insert_app1,
+    )
+    from dedup_spark.multimodal.jpeg import encode_jpeg
+
+    rows = []
+    for i in range(n):
+        iid = f"g{i:04d}"
+        px = _smooth_image(f"{seed}:{iid}".encode(), 16, 16)
+        jp = encode_jpeg(px, quality=99)
+        big = i % 2 == 1
+        if i % 3 == 0:
+            app1 = build_exif_app1_gps(
+                make=f"maker-{i:04d}",
+                model=f"model-{i:04d}",
+                orientation=(i % 8) + 1,
+                width=16,
+                height=16,
+                datetime=f"2024:02:{(i % 28) + 1:02d} {i % 24:02d}:00:00",
+                lat_dms=(i % 90, (i * 7) % 60, (i * 11) % 60),
+                lon_dms=(i % 180, (i * 13) % 60, (i * 17) % 60),
+                north=i % 4 < 2,
+                east=i % 5 < 3,
+                big_endian=big,
+            )
+            rows.append((iid, insert_app1(jp, app1), "jpeg",
+                         "MM" if big else "II", True))
+        elif i % 3 == 1:
+            app1 = build_exif_app1(
+                make=f"maker-{i:04d}",
+                model=f"model-{i:04d}",
+                orientation=(i % 8) + 1,
+                width=16,
+                height=16,
+                datetime=f"2024:02:{(i % 28) + 1:02d} {i % 24:02d}:00:00",
+                big_endian=big,
+            )
+            rows.append((iid, insert_app1(jp, app1), "jpeg",
+                         "MM" if big else "II", False))
+        else:
+            rows.append((iid, jp, "jpeg", "none", False))
+    return pd.DataFrame(
+        rows, columns=["image_id", "bytes", "fmt", "endian", "has_gps"]
+    )

@@ -615,3 +615,34 @@ def fixture_patch_parquet(params: dict | None = None) -> str:
         names=["image_id", "logo", "bytes", "w", "h", "fmt", "klass"],
     )
     return _write_atomic(table, out_dir, path)
+
+
+GPS_PARAMS = dict(n=36, seed=43)
+
+
+def fixture_gps_parquet(params: dict | None = None) -> str:
+    """Pinned GPS-privacy corpus (fixtures/images.py
+    generate_gps_corpus). `endian`/`has_gps` are the oracle's layout
+    keys (also re-derivable from raw hex — the oracle derives has_gps
+    from the IFD0 entry count); the engine sees bytes only."""
+    import pyarrow as pa
+
+    from dedup_spark.fixtures.images import generate_gps_corpus
+
+    params = dict(GPS_PARAMS if params is None else params)
+    out_dir = os.path.join(FIXTURE_ROOT, "gps_" + _params_tag(params))
+    path = os.path.join(out_dir, "images.parquet")
+    if os.path.exists(path):
+        return path
+    pdf = generate_gps_corpus(**params)
+    table = pa.Table.from_arrays(
+        [
+            pa.array(pdf["image_id"], type=pa.string()),
+            pa.array(pdf["bytes"], type=pa.binary()),
+            pa.array(pdf["fmt"], type=pa.string()),
+            pa.array(pdf["endian"], type=pa.string()),
+            pa.array(pdf["has_gps"], type=pa.bool_()),
+        ],
+        names=["image_id", "bytes", "fmt", "endian", "has_gps"],
+    )
+    return _write_atomic(table, out_dir, path)

@@ -838,6 +838,14 @@ def main() -> None:
     )
 
     audit(
+        "gps_scrub (Arrow scrub+reparse projection; payload consumed "
+        "in the stage, nothing shuffles but the 8-column report)",
+        e.queries()["gps_scrub"](spark, sf),
+        ["no_payload_in_exchange", "map_in_pandas"],
+        out,
+    )
+
+    audit(
         "lang_segmentation (explode + per-line projection + two "
         "combinable aggs, pure JVM)",
         e.queries()["lang_segmentation"](spark, sf),
