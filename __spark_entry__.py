@@ -3359,6 +3359,24 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rotation_invariant_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rotation/flip-invariant dedup (multimodal/rotinv.py): rotated
+    re-posts WITHOUT EXIF — the normal web case, since most CDNs strip
+    metadata — defeat every position-dependent tier (byte, pixel-sha,
+    thumbprint, dHash, content-box, and orientation_dedup which needs
+    the tag). The pixel-MULTISET signature is bitwise-invariant under
+    all 8 dihedral transforms by construction (they permute values,
+    never change them). Candidate-tier semantics documented; on the
+    pinned corpus the generator asserts cross-source multiset
+    distinctness, so the oracle's min(image_id)-per-source is the
+    exact full assignment."""
+    from dedup_spark.fixtures.materialize import fixture_rotation_parquet
+    from dedup_spark.multimodal.rotinv import rotation_invariant_clusters
+
+    df = spark.read.parquet(fixture_rotation_parquet())
+    return rotation_invariant_clusters(df.drop("src_id"))
+
+
 def q_gps_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPS privacy scrub (multimodal/exif.py scrub_gps) — the
     redaction a web corpus owes its subjects before training: remove
@@ -4166,6 +4184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shared_patch_pairs": q_shared_patch_pairs,
         "bpe_encode_stats": q_bpe_encode_stats,
         "gps_scrub": q_gps_scrub,
+        "rotation_invariant_dedup": q_rotation_invariant_dedup,
         # --- last driver-checked in round 3 ---
         "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
@@ -4381,6 +4400,9 @@ nr AS (SELECT doc_id, sqrt(CAST(sum(cnt*cnt) AS DOUBLE)) AS nrm
     from dedup_spark.fixtures.materialize import fixture_gps_parquet
 
     gps_fixture = f"read_parquet('{fixture_gps_parquet()}')"
+    from dedup_spark.fixtures.materialize import fixture_rotation_parquet
+
+    rot_fixture = f"read_parquet('{fixture_rotation_parquet()}')"
     exif_fixture = f"read_parquet('{fixture_exif_parquet()}')"
     from dedup_spark.fixtures.materialize import (
         fixture_dhash_parquet,
@@ -4639,6 +4661,14 @@ SELECT image_id,
   CASE WHEN endian = 'none' THEN NULL
        ELSE decode(unhex(substr(hx, 241, 38))) END AS taken_at
 FROM fx
+""",
+        # rotation dedup: group-by-source is the exact assignment —
+        # the generator asserted dihedral multiset invariance and
+        # cross-source distinctness; the engine sees pixels only
+        "rotation_invariant_dedup": f"""
+SELECT image_id, TRUE AS ok,
+       min(image_id) OVER (PARTITION BY src_id) AS cluster_id
+FROM {rot_fixture}
 """,
         # GPS scrub: had_gps derived from the raw-hex IFD0 entry count
         # (7 = GPS layout); preserved fields recomputed at the layout-

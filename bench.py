@@ -157,6 +157,8 @@ HEADLINE = [
     "bpe_encode_stats",
     # round-5: EXIF GPS privacy scrub (in-place, length-preserving)
     "gps_scrub",
+    # round-5: rotation/flip-invariant dedup (pixel-multiset sha)
+    "rotation_invariant_dedup",
     # round-5: per-line language segmentation (mixed-doc detection)
     "lang_segmentation",
     # round-5: brightness/rescale-invariant dHash dedup (pinned

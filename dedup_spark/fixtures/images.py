@@ -911,3 +911,48 @@ def generate_gps_corpus(n: int = 36, seed: int = 43) -> pd.DataFrame:
     return pd.DataFrame(
         rows, columns=["image_id", "bytes", "fmt", "endian", "has_gps"]
     )
+
+
+def generate_rotation_corpus(n_src: int = 25, seed: int = 47) -> pd.DataFrame:
+    """Dihedral-transform variants of each source image — the
+    rotation/flip dedup fixture. Per source: the original (non-square,
+    so rot90 changes dims) plus rot90/rot180/rot270 and horizontal /
+    vertical mirrors. The generator asserts every variant's pixel
+    multiset equals the base's (sorted flat-triple compare — an
+    INDEPENDENT formulation of the engine's unique+counts signature)
+    and that multisets are DISTINCT across sources, so group-by-source
+    is the exact oracle. Columns: (image_id, src_id, bytes, w, h,
+    fmt='ppm')."""
+    variants = (
+        ("orig", lambda p: p),
+        ("r090", lambda p: np.rot90(p, 1)),
+        ("r180", lambda p: np.rot90(p, 2)),
+        ("r270", lambda p: np.rot90(p, 3)),
+        ("flph", lambda p: p[:, ::-1]),
+        ("flpv", lambda p: p[::-1, :]),
+    )
+    rows = []
+    seen: set[bytes] = set()
+    for i in range(n_src):
+        sid = f"rt{i:04d}"
+        base = _smooth_image(f"{seed}:{sid}".encode(), 18, 12)
+        base_ms = np.sort(
+            base.reshape(-1, 3).view([("r", "u1"), ("g", "u1"), ("b", "u1")]),
+            axis=0,
+        ).tobytes()
+        assert base_ms not in seen, f"{sid}: cross-source multiset collision"
+        seen.add(base_ms)
+        for name, fn in variants:
+            px = np.ascontiguousarray(fn(base))
+            ms = np.sort(
+                px.reshape(-1, 3).view([("r", "u1"), ("g", "u1"), ("b", "u1")]),
+                axis=0,
+            ).tobytes()
+            assert ms == base_ms, f"{sid}#{name}: transform changed the multiset"
+            rows.append(
+                (f"{sid}#{name}", sid, encode_ppm(px),
+                 px.shape[1], px.shape[0], "ppm")
+            )
+    return pd.DataFrame(
+        rows, columns=["image_id", "src_id", "bytes", "w", "h", "fmt"]
+    )

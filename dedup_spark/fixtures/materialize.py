@@ -646,3 +646,34 @@ def fixture_gps_parquet(params: dict | None = None) -> str:
         names=["image_id", "bytes", "fmt", "endian", "has_gps"],
     )
     return _write_atomic(table, out_dir, path)
+
+
+ROT_PARAMS = dict(n_src=25, seed=47)
+
+
+def fixture_rotation_parquet(params: dict | None = None) -> str:
+    """Pinned dihedral-variant corpus (fixtures/images.py
+    generate_rotation_corpus) for rotation/flip-invariant dedup.
+    `src_id` is the oracle's partition key; the engine sees pixels."""
+    import pyarrow as pa
+
+    from dedup_spark.fixtures.images import generate_rotation_corpus
+
+    params = dict(ROT_PARAMS if params is None else params)
+    out_dir = os.path.join(FIXTURE_ROOT, "rot_" + _params_tag(params))
+    path = os.path.join(out_dir, "images.parquet")
+    if os.path.exists(path):
+        return path
+    pdf = generate_rotation_corpus(**params)
+    table = pa.Table.from_arrays(
+        [
+            pa.array(pdf["image_id"], type=pa.string()),
+            pa.array(pdf["src_id"], type=pa.string()),
+            pa.array(pdf["bytes"], type=pa.binary()),
+            pa.array(pdf["w"], type=pa.int32()),
+            pa.array(pdf["h"], type=pa.int32()),
+            pa.array(pdf["fmt"], type=pa.string()),
+        ],
+        names=["image_id", "src_id", "bytes", "w", "h", "fmt"],
+    )
+    return _write_atomic(table, out_dir, path)

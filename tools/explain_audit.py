@@ -846,6 +846,14 @@ def main() -> None:
     )
 
     audit(
+        "rotation_invariant_dedup (multiset-sha projection, sha-keyed "
+        "groupBy; Arrow stage behind the localCheckpoint cut)",
+        e.queries()["rotation_invariant_dedup"](spark, sf),
+        ["no_payload_in_exchange", "no_expand"],
+        out,
+    )
+
+    audit(
         "lang_segmentation (explode + per-line projection + two "
         "combinable aggs, pure JVM)",
         e.queries()["lang_segmentation"](spark, sf),
