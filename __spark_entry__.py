@@ -1586,6 +1586,46 @@ FROM b{i}"""
     return "WITH " + ",\n".join(stages) + "\n" + "\nUNION ALL\n".join(finals)
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (functions/html.py) — the C4/CCNet
+    front door: drop script/style/comment blocks wholesale (non-greedy
+    dot-all, so fake tags INSIDE script bodies never leak), strip
+    tags, decode the common entity subset (&amp; last — the
+    double-escape rule), collapse whitespace. Pure regexp_replace
+    cascade chosen to behave identically under Java regex and RE2;
+    the fixture generator cross-checks the cascade against Python's
+    stdlib html.parser on every row, so the regex shortcut is
+    verified against a real parser for this corpus class. Full-string
+    value gate (the hardest compare) + char counts."""
+    from dedup_spark.fixtures.materialize import fixture_html_parquet
+    from dedup_spark.functions.html import html_to_text
+
+    df = spark.read.parquet(fixture_html_parquet())
+    txt = html_to_text(F.col("html"))
+    return df.select(
+        "doc_id",
+        txt.alias("text"),
+        F.length(txt).cast("long").alias("n_chars"),
+    )
+
+
+def _html_oracle_sql() -> str:
+    """The identical cascade, generated from HTML_STRIP_STEPS (no
+    transcription drift), with DuckDB's required 'g' flag."""
+    from dedup_spark.functions.html import HTML_STRIP_STEPS
+
+    expr = "html"
+    for pat, rep in HTML_STRIP_STEPS:
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    return f"""
+SELECT doc_id, trim({expr}) AS text,
+       CAST(length(trim({expr})) AS BIGINT) AS n_chars
+FROM HTML_FIXTURE
+"""
+
+
 def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer APPLICATION — the other half of bpe_merges: replay
     the 6 learned merges over the distinct-word table (a fixed k-deep
@@ -4185,6 +4225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_stats": q_bpe_encode_stats,
         "gps_scrub": q_gps_scrub,
         "rotation_invariant_dedup": q_rotation_invariant_dedup,
+        "html_extract": q_html_extract,
         # --- last driver-checked in round 3 ---
         "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
@@ -4403,6 +4444,9 @@ nr AS (SELECT doc_id, sqrt(CAST(sum(cnt*cnt) AS DOUBLE)) AS nrm
     from dedup_spark.fixtures.materialize import fixture_rotation_parquet
 
     rot_fixture = f"read_parquet('{fixture_rotation_parquet()}')"
+    from dedup_spark.fixtures.materialize import fixture_html_parquet
+
+    html_fixture = f"read_parquet('{fixture_html_parquet()}')"
     exif_fixture = f"read_parquet('{fixture_exif_parquet()}')"
     from dedup_spark.fixtures.materialize import (
         fixture_dhash_parquet,
@@ -4662,6 +4706,11 @@ SELECT image_id,
        ELSE decode(unhex(substr(hx, 241, 38))) END AS taken_at
 FROM fx
 """,
+        # html extraction: the cascade regenerated from the same step
+        # table, RE2-side, with the required 'g' flag
+        "html_extract": _html_oracle_sql().replace(
+            "HTML_FIXTURE", html_fixture
+        ),
         # rotation dedup: group-by-source is the exact assignment —
         # the generator asserted dihedral multiset invariance and
         # cross-source distinctness; the engine sees pixels only

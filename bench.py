@@ -159,6 +159,8 @@ HEADLINE = [
     "gps_scrub",
     # round-5: rotation/flip-invariant dedup (pixel-multiset sha)
     "rotation_invariant_dedup",
+    # round-5: HTML->text extraction (regex cascade, parser-verified)
+    "html_extract",
     # round-5: per-line language segmentation (mixed-doc detection)
     "lang_segmentation",
     # round-5: brightness/rescale-invariant dHash dedup (pinned

@@ -677,3 +677,32 @@ def fixture_rotation_parquet(params: dict | None = None) -> str:
         names=["image_id", "src_id", "bytes", "w", "h", "fmt"],
     )
     return _write_atomic(table, out_dir, path)
+
+
+HTML_PARAMS = dict(n=50, seed=53)
+
+
+def fixture_html_parquet(params: dict | None = None) -> str:
+    """Pinned crawled-HTML corpus (fixtures/htmlgen.py). `expected` is
+    the generator's parser-cross-checked ground truth for tests; the
+    oracle recomputes extraction from `html` with its own regex
+    cascade."""
+    import pyarrow as pa
+
+    from dedup_spark.fixtures.htmlgen import generate_html_corpus
+
+    params = dict(HTML_PARAMS if params is None else params)
+    out_dir = os.path.join(FIXTURE_ROOT, "html_" + _params_tag(params))
+    path = os.path.join(out_dir, "docs.parquet")
+    if os.path.exists(path):
+        return path
+    pdf = generate_html_corpus(**params)
+    table = pa.Table.from_arrays(
+        [
+            pa.array(pdf["doc_id"], type=pa.int64()),
+            pa.array(pdf["html"], type=pa.string()),
+            pa.array(pdf["expected"], type=pa.string()),
+        ],
+        names=["doc_id", "html", "expected"],
+    )
+    return _write_atomic(table, out_dir, path)

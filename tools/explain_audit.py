@@ -854,6 +854,14 @@ def main() -> None:
     )
 
     audit(
+        "html_extract (pure regexp_replace cascade projection, no "
+        "shuffle, no Python)",
+        e.queries()["html_extract"](spark, sf),
+        ["wholestage_codegen", "no_python_udf", "no_exchange"],
+        out,
+    )
+
+    audit(
         "lang_segmentation (explode + per-line projection + two "
         "combinable aggs, pure JVM)",
         e.queries()["lang_segmentation"](spark, sf),
