@@ -3399,6 +3399,114 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot diff (operators/diff.py) — the CDC
+    reconciliation between two crawl versions that decides which rows
+    re-enter which tiers (changed bytes → re-decode; changed caption →
+    re-shingle; unchanged → skip). v2 is derived from the fixture by a
+    seeded md5 rule both engines compute independently (drop / append
+    ' v2' to caption / append a NUL byte to payload / both+spawn-new),
+    so the gate exercises every status class. The engine compares
+    sha256(payload) across ONE full outer join (the payload never
+    enters the Exchange); the oracle compares the blobs themselves —
+    equal answers re-prove sha-keying once more."""
+    from dedup_spark.operators.diff import snapshot_diff
+    from dedup_spark.operators.ordering import shuffle_key
+
+    v1 = _fixture_images(spark).select("image_id", "bytes", "caption")
+    r = (
+        F.conv(
+            F.substring(shuffle_key(F.col("image_id"), "snap"), 1, 15),
+            16, 10,
+        ).cast("long") % 10
+    )
+    base = v1.withColumn("_r", r)
+    v2 = (
+        base.filter(F.col("_r") != 0)
+        .select(
+            "image_id",
+            F.when(
+                F.col("_r").isin(2, 3),
+                F.concat(F.col("bytes"), F.unhex(F.lit("00"))),
+            ).otherwise(F.col("bytes")).alias("bytes"),
+            F.when(
+                F.col("_r").isin(1, 3),
+                F.concat(F.col("caption"), F.lit(" v2")),
+            ).otherwise(F.col("caption")).alias("caption"),
+        )
+        .unionByName(
+            base.filter(F.col("_r") == 3).select(
+                F.concat(F.col("image_id"), F.lit("#new")).alias("image_id"),
+                "bytes",
+                "caption",
+            )
+        )
+    )
+    return snapshot_diff(v1, v2)
+
+
+def q_length_quantiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length quantiles — the calibration table quality
+    cutoffs are read off of ('drop the bottom decile per source', not
+    one global bound that guts short-form sources). EXACT interpolated
+    percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`, both the
+    standard type-7 rule) — exact is fine here because the quantile
+    runs per source AFTER aggregation; the sketch tier (sketch_stats,
+    GK) is the documented 100 TB path when per-key exact sorts are too
+    hot."""
+    q = F.percentile(F.col("n_chars").cast("double"), F.lit([0.1, 0.5, 0.9]))
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.col("n_chars").isNotNull())
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            q.alias("_q"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("_q")[0], 6).alias("p10"),
+            F.round(F.col("_q")[1], 6).alias("p50"),
+            F.round(F.col("_q")[2], 6).alias("p90"),
+        )
+    )
+
+
+def q_image_geometry_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus geometry profile — the ingest dashboard that sizes the
+    decode tier: counts and share per (aspect class, size class) from
+    the STORED dims, no pixel touched. Aspect from w/h (portrait <
+    0.95, square ≤ 1.05, landscape above); size from pixel count
+    (<1k, <4k, <16k, big). One combinable aggregation + a broadcast
+    total."""
+    imgs = _fixture_images(spark).select(
+        (F.col("w").cast("double") / F.col("h")).alias("ar"),
+        (F.col("w").cast("long") * F.col("h")).alias("px"),
+    )
+    aspect = (
+        F.when(F.col("ar") < 0.95, "portrait")
+        .when(F.col("ar") <= 1.05, "square")
+        .otherwise("landscape")
+    )
+    size = (
+        F.when(F.col("px") < 1024, "tiny")
+        .when(F.col("px") < 4096, "small")
+        .when(F.col("px") < 16384, "medium")
+        .otherwise("large")
+    )
+    per = imgs.groupBy(
+        aspect.alias("aspect_class"), size.alias("size_class")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = per.agg(F.sum("n").alias("_t"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "aspect_class",
+        "size_class",
+        "n",
+        F.round(F.col("n") / F.col("_t"), 6).alias("share"),
+    )
+
+
 def q_rotation_invariant_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rotation/flip-invariant dedup (multimodal/rotinv.py): rotated
     re-posts WITHOUT EXIF — the normal web case, since most CDNs strip
@@ -4226,6 +4334,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gps_scrub": q_gps_scrub,
         "rotation_invariant_dedup": q_rotation_invariant_dedup,
         "html_extract": q_html_extract,
+        "snapshot_diff": q_snapshot_diff,
+        "length_quantiles_by_source": q_length_quantiles_by_source,
+        "image_geometry_profile": q_image_geometry_profile,
         # --- last driver-checked in round 3 ---
         "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
@@ -4705,6 +4816,65 @@ SELECT image_id,
   CASE WHEN endian = 'none' THEN NULL
        ELSE decode(unhex(substr(hx, 241, 38))) END AS taken_at
 FROM fx
+""",
+        # snapshot diff: same seeded md5 v2 derivation; the oracle
+        # compares the BLOBs where the engine compares their shas
+        "snapshot_diff": f"""
+WITH v1 AS (SELECT image_id, bytes, caption FROM {fixture}),
+r AS (
+  SELECT image_id, bytes, caption,
+         ('0x' || substring(md5('snap:' || image_id), 1, 15))::BIGINT % 10
+           AS r
+  FROM v1
+),
+v2 AS (
+  SELECT image_id,
+         CASE WHEN r IN (2, 3) THEN bytes || unhex('00') ELSE bytes END
+           AS bytes,
+         CASE WHEN r IN (1, 3) THEN caption || ' v2' ELSE caption END
+           AS caption
+  FROM r WHERE r <> 0
+  UNION ALL
+  SELECT image_id || '#new', bytes, caption FROM r WHERE r = 3
+)
+SELECT coalesce(v1.image_id, v2.image_id) AS image_id,
+  CASE WHEN v1.image_id IS NULL THEN 'added'
+       WHEN v2.image_id IS NULL THEN 'removed'
+       WHEN v1.bytes IS DISTINCT FROM v2.bytes
+            AND v1.caption IS DISTINCT FROM v2.caption THEN 'changed_both'
+       WHEN v1.bytes IS DISTINCT FROM v2.bytes THEN 'changed_bytes'
+       WHEN v1.caption IS DISTINCT FROM v2.caption THEN 'changed_caption'
+       ELSE 'unchanged'
+  END AS status
+FROM v1 FULL OUTER JOIN v2 ON v1.image_id = v2.image_id
+""",
+        # exact interpolated quantiles: Spark percentile ≡ DuckDB
+        # quantile_cont (both type-7 linear interpolation)
+        "length_quantiles_by_source": """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(quantile_cont(n_chars, 0.1), 6) AS p10,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50,
+       round(quantile_cont(n_chars, 0.9), 6) AS p90
+FROM documents WHERE n_chars IS NOT NULL GROUP BY source
+""",
+        "image_geometry_profile": f"""
+WITH g AS (
+  SELECT CASE WHEN w * 1.0 / h < 0.95 THEN 'portrait'
+              WHEN w * 1.0 / h <= 1.05 THEN 'square'
+              ELSE 'landscape' END AS aspect_class,
+         CASE WHEN CAST(w AS BIGINT) * h < 1024 THEN 'tiny'
+              WHEN CAST(w AS BIGINT) * h < 4096 THEN 'small'
+              WHEN CAST(w AS BIGINT) * h < 16384 THEN 'medium'
+              ELSE 'large' END AS size_class
+  FROM {fixture}
+),
+per AS (
+  SELECT aspect_class, size_class, CAST(count(*) AS BIGINT) AS n
+  FROM g GROUP BY 1, 2
+)
+SELECT aspect_class, size_class, n,
+       round(n * 1.0 / (SELECT sum(n) FROM per), 6) AS share
+FROM per
 """,
         # html extraction: the cascade regenerated from the same step
         # table, RE2-side, with the required 'g' flag

@@ -161,6 +161,12 @@ HEADLINE = [
     "rotation_invariant_dedup",
     # round-5: HTML->text extraction (regex cascade, parser-verified)
     "html_extract",
+    # round-5: row-level snapshot diff (sha-projected full-outer join)
+    "snapshot_diff",
+    # round-5: per-source exact length quantiles (calibration table)
+    "length_quantiles_by_source",
+    # round-5: geometry profile from stored dims (no pixel decoded)
+    "image_geometry_profile",
     # round-5: per-line language segmentation (mixed-doc detection)
     "lang_segmentation",
     # round-5: brightness/rescale-invariant dHash dedup (pinned

@@ -102,6 +102,18 @@ TEXT_QUERIES = [
     # story (phase-1 CC grows with the corpus like cc_clusters; the
     # increment's star loop only sees the contracted batch graph)
     "incremental_cc",
+    # round-5 session-6 (documents-table): per-source budgeted A-ES
+    # (salted two-phase top-k — the window never sees a whole source),
+    # per-source dup-rate rollup, hard-negative band (same capped
+    # inverted index as ngram_jaccard_pairs at a lower threshold),
+    # writer shard plan (one agg), BPE application (vocab-table
+    # replace chain + exploded-word join). html_extract and the new
+    # image tiers run on pinned fixtures (sf-independent).
+    "group_weighted_sample",
+    "dup_rate_by_source",
+    "hard_negative_pairs",
+    "output_shard_plan",
+    "bpe_encode_stats",
 ]
 
 # round-5 additions (VERDICT r4 item 4): the round-4 query classes that

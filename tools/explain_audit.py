@@ -862,6 +862,30 @@ def main() -> None:
     )
 
     audit(
+        "snapshot_diff (one full-outer join of sha-projected key "
+        "tables; payload never in the Exchange)",
+        e.queries()["snapshot_diff"](spark, sf),
+        ["no_payload_in_exchange", "no_python_udf", "wholestage_codegen"],
+        out,
+    )
+
+    audit(
+        "length_quantiles_by_source (one exact-percentile agg per "
+        "source, pure JVM)",
+        e.queries()["length_quantiles_by_source"](spark, sf),
+        ["wholestage_codegen", "no_python_udf", "no_expand"],
+        out,
+    )
+
+    audit(
+        "image_geometry_profile (stored-dims projection + combinable "
+        "agg + broadcast total; no pixel decoded)",
+        e.queries()["image_geometry_profile"](spark, sf),
+        ["no_python_udf", "no_expand"],
+        out,
+    )
+
+    audit(
         "lang_segmentation (explode + per-line projection + two "
         "combinable aggs, pure JVM)",
         e.queries()["lang_segmentation"](spark, sf),
