@@ -1586,6 +1586,57 @@ FROM b{i}"""
     return "WITH " + ",\n".join(stages) + "\n" + "\nUNION ALL\n".join(finals)
 
 
+def q_bow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words (order-invariant) duplicate groups — the text
+    analog of the rotation tier's multiset idea: templated spam
+    re-orders sentences/words to defeat exact and fingerprint dedup,
+    but the normalized token MULTISET survives any permutation. Key =
+    sha256 of the sorted token array (duplicate tokens kept — a
+    multiset, not a set, so 'a a b' ≠ 'a b'); groups with ≥ 2 docs
+    reported with min-id cluster. Pure built-ins (split → sort_array →
+    array_join → sha2); the oracle sorts with DuckDB's list_sort and
+    groups by the joined string itself, re-proving the sha stands in.
+    The gate is made non-vacuous AT ANY SF by construction: a seeded
+    md5 rule selects ~5% of docs and unions in a copy with the token
+    order REVERSED (id offset +1M) — exactly the reordering attack the
+    tier exists for; each selected doc must pair with its shuffled
+    twin while the near-dup one-token-substituted docs stay apart."""
+    from dedup_spark.operators.ordering import shuffle_key
+
+    base = _docs(spark, sf_dir).filter(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    ).select("doc_id", "text")
+    rule = (
+        F.conv(
+            F.substring(shuffle_key(F.col("doc_id"), "bow"), 1, 15), 16, 10
+        ).cast("long") % 20
+    )
+    reordered = base.filter(rule == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.array_join(
+            F.reverse(F.split(F.col("text"), r"\s+")), " "
+        ).alias("text"),
+    )
+    norm = F.lower(F.trim(F.col("text")))
+    key = F.sha2(
+        F.array_join(F.sort_array(F.split(norm, r"\s+")), " "), 256
+    )
+    docs = base.unionByName(reordered).select("doc_id", key.alias("bow"))
+    groups = (
+        docs.groupBy("bow")
+        .agg(
+            F.min("doc_id").alias("cluster_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
+    return docs.join(groups, "bow").select(
+        "doc_id",
+        "cluster_id",
+        F.col("n_members").cast("long").alias("n_members"),
+    )
+
+
 def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML → text extraction (functions/html.py) — the C4/CCNet
     front door: drop script/style/comment blocks wholesale (non-greedy
@@ -3525,6 +3576,27 @@ def q_rotation_invariant_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rotation_invariant_clusters(df.drop("src_id"))
 
 
+def q_verified_rotation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The candidate → VERIFY discipline on the rotation tier
+    (multimodal/rotinv.py verified_rotation_pairs): multiset-signature
+    buckets only NOMINATE pairs; each is confirmed by decoding both
+    sides and trying all 8 dihedral transforms. The verify stage is
+    the one place payloads legitimately re-enter a shuffle — candidate
+    rows only, two payloads per pair, flood-guarded. On the pinned
+    corpus the verified pair set must be EXACTLY the within-source
+    pairs, all verified=true (the oracle's self-join) — a false
+    candidate surviving or a true rotation failing verification both
+    break the hash. The engine-internal transform label is pinned in
+    pytest (the oracle cannot express D4 composition)."""
+    from dedup_spark.fixtures.materialize import fixture_rotation_parquet
+    from dedup_spark.multimodal.rotinv import verified_rotation_pairs
+
+    df = spark.read.parquet(fixture_rotation_parquet())
+    return verified_rotation_pairs(df.drop("src_id")).select(
+        "id1", "id2", "verified"
+    )
+
+
 def q_gps_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPS privacy scrub (multimodal/exif.py scrub_gps) — the
     redaction a web corpus owes its subjects before training: remove
@@ -4337,6 +4409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "length_quantiles_by_source": q_length_quantiles_by_source,
         "image_geometry_profile": q_image_geometry_profile,
+        "bow_dedup": q_bow_dedup,
+        "verified_rotation_pairs": q_verified_rotation_pairs,
         # --- last driver-checked in round 3 ---
         "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
@@ -4817,6 +4891,36 @@ SELECT image_id,
        ELSE decode(unhex(substr(hx, 241, 38))) END AS taken_at
 FROM fx
 """,
+        # bag-of-words dedup: DuckDB sorts the token list and groups
+        # by the joined string itself (re-proving the sha key)
+        "bow_dedup": """
+WITH base AS (
+  SELECT doc_id, "text" FROM documents
+  WHERE "text" IS NOT NULL AND trim("text") <> ''
+),
+aug AS (
+  SELECT doc_id, "text" FROM base
+  UNION ALL
+  SELECT doc_id + 1000000,
+         array_to_string(list_reverse(
+           regexp_split_to_array("text", '\\s+')), ' ')
+  FROM base
+  WHERE ('0x' || substring(md5('bow:' || doc_id), 1, 15))::BIGINT % 20 = 0
+),
+k AS (
+  SELECT doc_id,
+         array_to_string(list_sort(
+           regexp_split_to_array(lower(trim("text")), '\\s+')), ' ') AS bow
+  FROM aug
+),
+g AS (
+  SELECT bow, min(doc_id) AS cluster_id,
+         CAST(count(*) AS BIGINT) AS n_members
+  FROM k GROUP BY bow HAVING count(*) >= 2
+)
+SELECT k.doc_id, g.cluster_id, g.n_members
+FROM k JOIN g ON k.bow = g.bow
+""",
         # snapshot diff: same seeded md5 v2 derivation; the oracle
         # compares the BLOBs where the engine compares their shas
         "snapshot_diff": f"""
@@ -4881,6 +4985,13 @@ FROM per
         "html_extract": _html_oracle_sql().replace(
             "HTML_FIXTURE", html_fixture
         ),
+        # verified rotation pairs: exactly the within-source pairs,
+        # all verified (generator asserted cross-source distinctness)
+        "verified_rotation_pairs": f"""
+SELECT a.image_id AS id1, b.image_id AS id2, TRUE AS verified
+FROM {rot_fixture} a JOIN {rot_fixture} b
+  ON a.src_id = b.src_id AND a.image_id < b.image_id
+""",
         # rotation dedup: group-by-source is the exact assignment —
         # the generator asserted dihedral multiset invariance and
         # cross-source distinctness; the engine sees pixels only

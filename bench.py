@@ -167,6 +167,10 @@ HEADLINE = [
     "length_quantiles_by_source",
     # round-5: geometry profile from stored dims (no pixel decoded)
     "image_geometry_profile",
+    # round-5: bag-of-words order-invariant dedup (+ injected twins)
+    "bow_dedup",
+    # round-5: candidate->verify rotation pairs (D4 transform check)
+    "verified_rotation_pairs",
     # round-5: per-line language segmentation (mixed-doc detection)
     "lang_segmentation",
     # round-5: brightness/rescale-invariant dHash dedup (pinned

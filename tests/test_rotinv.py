@@ -55,3 +55,52 @@ def test_unreadable_rows_survive(spark):
     got = {r["image_id"]: r for r in rotation_invariant_clusters(df).collect()}
     assert got["a"]["cluster_id"] == got["b"]["cluster_id"] == "a"
     assert got["x"]["ok"] is False and got["x"]["cluster_id"] == "x"
+
+
+# --- verified rotation pairs (candidate -> D4 verify) ---
+
+from dedup_spark.multimodal.rotinv import find_transform, verified_rotation_pairs
+
+
+def test_find_transform_identifies_each_d4_element():
+    base = _smooth_image(b"d4v", 10, 6)
+    cases = {
+        "r000": base,
+        "r090": np.rot90(base, 1),
+        "r180": np.rot90(base, 2),
+        "r270": np.rot90(base, 3),
+        "f000": base[:, ::-1],
+        "f090": np.rot90(base[:, ::-1], 1),
+        "f180": np.rot90(base[:, ::-1], 2),
+        "f270": np.rot90(base[:, ::-1], 3),
+    }
+    for want, img in cases.items():
+        assert find_transform(base, np.ascontiguousarray(img)) == want
+    other = _smooth_image(b"other", 10, 6)
+    assert find_transform(base, other) is None
+
+
+def test_multiset_collision_is_rejected_by_verify(spark):
+    # two DIFFERENT images with the same pixel multiset: swap two
+    # unequal pixels — multiset identical, no dihedral transform maps
+    # one to the other (verified must be false)
+    base = _smooth_image(b"coll", 9, 7).copy()
+    other = base.copy()
+    assert not (other[0, 0] == other[3, 4]).all()
+    other[0, 0], other[3, 4] = base[3, 4].copy(), base[0, 0].copy()
+    rows = [("a", encode_ppm(base), "ppm"), ("b", encode_ppm(other), "ppm")]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    got = verified_rotation_pairs(df).collect()
+    assert len(got) == 1
+    assert got[0]["verified"] is False and got[0]["transform"] is None
+
+
+def test_flood_bucket_guard(spark):
+    base = _smooth_image(b"flood", 8, 8)
+    rows = [(f"i{k}", encode_ppm(base), "ppm") for k in range(5)]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    capped = verified_rotation_pairs(df, max_bucket=4, log_drops=False).collect()
+    assert capped == []
+    full = verified_rotation_pairs(df, max_bucket=64, log_drops=False).collect()
+    assert len(full) == 10 and all(r["verified"] for r in full)
+    assert all(r["transform"] == "r000" for r in full)  # byte-identical

@@ -886,6 +886,23 @@ def main() -> None:
     )
 
     audit(
+        "bow_dedup (sort_array multiset key, one groupBy + join back, "
+        "pure JVM)",
+        e.queries()["bow_dedup"](spark, sf),
+        ["wholestage_codegen", "no_python_udf", "no_expand"],
+        out,
+    )
+
+    audit(
+        "verified_rotation_pairs (sha-keyed candidate buckets; the "
+        "verify join ships exactly two payloads per CANDIDATE pair — "
+        "the one legitimate payload shuffle, flood-guarded)",
+        e.queries()["verified_rotation_pairs"](spark, sf),
+        ["no_cartesian", "no_expand"],
+        out,
+    )
+
+    audit(
         "lang_segmentation (explode + per-line projection + two "
         "combinable aggs, pure JVM)",
         e.queries()["lang_segmentation"](spark, sf),
