@@ -2838,6 +2838,98 @@ def q_streaming_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
+def q_streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC left enrichment join — the STATELESS streaming
+    pattern (the 7th: the other six gates cover state tables,
+    watermark dedup, sessionization, fuzzy state, interval join, Bloom
+    state): events replay as a real file-source stream (3 time-ordered
+    slices) and every micro-batch is enriched with the customer
+    dimension via a broadcast LEFT join. The dimension is filtered to
+    c_custkey % 4 != 3, so ~a quarter of events must survive
+    UNMATCHED with null attributes — dropping them in an enrichment
+    stage is data loss, and an accidental inner join fails the row
+    count. No state store exists; the streamed result must equal the
+    batch left join, which is the oracle. Eager replay;
+    DEDUP_SPARK_EXPLAIN_ONLY=1 returns the lazy stand-in."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_custkey") % 4 != 3)
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+    def out_cols(df):
+        return df.select(
+            F.col("event_id").cast("long"),
+            F.col("user_id").cast("long"),
+            "event_type",
+            "c_name",
+            "c_mktsegment",
+        )
+
+    from dedup_spark.streaming.incremental import stream_static_enrich
+
+    if os.environ.get("DEDUP_SPARK_EXPLAIN_ONLY"):
+        return out_cols(
+            stream_static_enrich(events, dim, "user_id", "c_custkey")
+        ).limit(0)
+
+    import shutil
+    import tempfile
+    import time
+
+    from dedup_spark.streaming.incremental import replay_ordered_files
+
+    root = "/tmp/dedup_spark_stream_q"
+    os.makedirs(root, exist_ok=True)
+    for d in os.listdir(root):
+        p = os.path.join(root, d)
+        if os.path.isdir(p) and time.time() - os.path.getmtime(p) > 3600:
+            shutil.rmtree(p, ignore_errors=True)
+    base = tempfile.mkdtemp(
+        prefix=f"enr_{os.path.basename(sf_dir.rstrip('/'))}_", dir=root
+    )
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    os.makedirs(in_dir)
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+        span = hi - lo
+        cuts = [lo + span / 3, lo + 2 * span / 3]
+        slices = [
+            events.filter(F.col("ts") < F.lit(cuts[0])),
+            events.filter(
+                (F.col("ts") >= F.lit(cuts[0])) & (F.col("ts") < F.lit(cuts[1]))
+            ),
+            events.filter(F.col("ts") >= F.lit(cuts[1])),
+        ]
+        for k, sl in enumerate(slices):
+            tmp = f"{base}/raw{k}"
+            sl.coalesce(1).write.parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp)
+                if f.endswith(".parquet") and not f.startswith(".")
+            )
+            dst = f"{in_dir}/b{k}.parquet"
+            shutil.move(os.path.join(tmp, part), dst)
+            os.utime(dst, (1700000000 + 100 * k,) * 2)
+
+        replay_ordered_files(
+            spark, in_dir, events.schema,
+            lambda s: out_cols(
+                stream_static_enrich(s, dim, "user_id", "c_custkey")
+            ),
+            out_dir, ckpt,
+        )
+        return spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
 def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked STREAM-STREAM inner interval join — the Structured
     Streaming stateful operator the other four streaming gates don't
@@ -4411,6 +4503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_geometry_profile": q_image_geometry_profile,
         "bow_dedup": q_bow_dedup,
         "verified_rotation_pairs": q_verified_rotation_pairs,
+        "streaming_enrich_join": q_streaming_enrich_join,
         # --- last driver-checked in round 3 ---
         "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
@@ -4890,6 +4983,16 @@ SELECT image_id,
   CASE WHEN endian = 'none' THEN NULL
        ELSE decode(unhex(substr(hx, 241, 38))) END AS taken_at
 FROM fx
+""",
+        # stream-static enrichment: the streamed result must equal the
+        # batch LEFT join against the filtered dimension
+        "streaming_enrich_join": """
+SELECT e.event_id, e.user_id, e.event_type, c.c_name, c.c_mktsegment
+FROM events e
+LEFT JOIN (
+  SELECT c_custkey, c_name, c_mktsegment FROM customer
+  WHERE c_custkey % 4 <> 3
+) c ON e.user_id = c.c_custkey
 """,
         # bag-of-words dedup: DuckDB sorts the token list and groups
         # by the joined string itself (re-proving the sha key)

@@ -171,6 +171,8 @@ HEADLINE = [
     "bow_dedup",
     # round-5: candidate->verify rotation pairs (D4 transform check)
     "verified_rotation_pairs",
+    # (streaming_* queries stay out of the bench suite by convention:
+    # eager replays measure the harness, not the engine)
     # round-5: per-line language segmentation (mixed-doc detection)
     "lang_segmentation",
     # round-5: brightness/rescale-invariant dHash dedup (pinned

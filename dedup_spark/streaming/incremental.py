@@ -321,3 +321,18 @@ def replay_two_ordered_streams(
             f"two-stream replay did not drain within {timeout_s}s"
         )
     q.stop()
+
+
+def stream_static_enrich(stream, dim, key: str, dim_key: str):
+    """STREAM-STATIC left join — the stateless streaming pattern the
+    other six gates don't cover: enrich each micro-batch with a
+    dimension table. No state store exists at all (nothing to evict,
+    no watermark needed for correctness); Spark re-plans the static
+    side per micro-batch, so a broadcast dimension rides along with
+    every batch — the canonical 100 TB shape for click-stream ×
+    customer-dim enrichment. LEFT join: events with no dimension row
+    survive with nulls (dropping them in an enrichment stage is data
+    loss)."""
+    return stream.join(
+        F.broadcast(dim), F.col(key) == F.col(dim_key), "left"
+    )

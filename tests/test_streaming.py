@@ -555,3 +555,58 @@ def test_stream_interval_join_cross_batch_and_late_eviction(spark, tmp_path):
     assert (1, 11) in got          # carried across the batch boundary
     assert (1, 12) not in got      # late arrival: state already evicted
     assert got == [(1, 10), (1, 11), (2, 20), (3, 21), (4, 22)]
+
+
+# --- stream-static enrichment (the stateless 7th pattern) ---
+
+
+def test_stream_static_enrich_equals_batch_left_join(spark, tmp_path):
+    import os
+    from pyspark.sql import functions as F
+
+    from dedup_spark.streaming.incremental import (
+        replay_ordered_files,
+        stream_static_enrich,
+    )
+
+    events = spark.createDataFrame(
+        [(i, i % 6, f"e{i}") for i in range(30)],
+        "event_id long, user_id long, event_type string",
+    )
+    dim = spark.createDataFrame(
+        [(u, f"name{u}") for u in range(6) if u % 3 != 2],
+        "c_custkey long, c_name string",
+    )
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    for k in range(3):
+        sl = events.filter(F.col("event_id") % 3 == k)
+        tmp = str(tmp_path / f"raw{k}")
+        sl.coalesce(1).write.parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        dst = f"{in_dir}/b{k}.parquet"
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (1700000000 + 100 * k,) * 2)
+
+    replay_ordered_files(
+        spark, in_dir, events.schema,
+        lambda s: stream_static_enrich(s, dim, "user_id", "c_custkey")
+        .select("event_id", "user_id", "c_name"),
+        str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    got = {
+        r["event_id"]: (r["user_id"], r["c_name"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    want = {
+        r["event_id"]: (r["user_id"], r["c_name"])
+        for r in stream_static_enrich(events, dim, "user_id", "c_custkey")
+        .select("event_id", "user_id", "c_name")
+        .collect()
+    }
+    assert got == want and len(got) == 30
+    # unmatched users (2, 5) survive with null enrichment
+    assert any(v[1] is None for v in got.values())
