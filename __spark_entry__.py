@@ -3734,6 +3734,80 @@ def q_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dhash_clusters(df.drop("src_id"))
 
 
+def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup FUNNEL — the one-row dashboard an operator reads
+    before trusting a pipeline run: verified pair counts per tier
+    (exact bytes / caption LSH / pHash Hamming), the distinct union
+    (tiers overlap heavily — exact dups are also caption- and
+    phash-equal), and the fused cluster outcome (clusters ≥ 2, rows in
+    them, total rows). Exact-tier pairs are counted from group sizes
+    (C(n,2), combinable agg — the count never materializes a flood);
+    the union materializes pairs only from the already-guarded
+    verified tiers. The oracle recomputes all seven numbers from the
+    same bytes — byte self-join, exact shingle-Jaccard, bit_count
+    Hamming, recursive closure."""
+    from dedup_spark.operators.exact import exact_duplicate_clusters
+    from dedup_spark.operators.minhash import minhash_near_duplicates
+    from dedup_spark.operators.simhash import phash_near_duplicates
+    from dedup_spark.pipeline import dedup_pipeline
+
+    imgs = _fixture_images(spark)
+    keyed = imgs.filter(F.length("bytes") >= 1).select(
+        "image_id", F.sha2(F.col("bytes"), 256).alias("k")
+    )
+    sizes = keyed.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    n_exact = sizes.agg(
+        F.sum(F.expr("CAST(n AS BIGINT) * (n - 1) DIV 2")).alias(
+            "n_exact_pairs"
+        )
+    )
+    cp = minhash_near_duplicates(
+        imgs,
+        id_col="image_id",
+        text_col="caption",
+        cfg=DedupConfig(jaccard_threshold=MINHASH_T),
+        max_band_bucket=1 << 20,
+    ).select("id1", "id2")
+    hp = phash_near_duplicates(imgs, max_band_bucket=4096).select(
+        "id1", "id2"
+    )
+    ep = (
+        keyed.select("k", F.col("image_id").alias("id1"))
+        .join(keyed.select("k", F.col("image_id").alias("id2")), "k")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+    )
+    n_cap = cp.agg(F.count(F.lit(1)).alias("n_caption_pairs"))
+    n_ph = hp.agg(F.count(F.lit(1)).alias("n_phash_pairs"))
+    n_union = (
+        ep.unionByName(cp).unionByName(hp).distinct()
+        .agg(F.count(F.lit(1)).alias("n_union_pairs"))
+    )
+    asg = dedup_pipeline(
+        imgs,
+        cfg=DedupConfig(jaccard_threshold=MINHASH_T),
+        caption_band_bucket=1 << 20,
+        phash_band_bucket=4096,
+    )
+    cl = asg.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    stats = cl.agg(
+        F.sum((F.col("sz") >= 2).cast("long")).alias("n_clusters"),
+        F.sum(F.when(F.col("sz") >= 2, F.col("sz")).otherwise(0)).alias(
+            "n_dup_rows"
+        ),
+        F.sum("sz").alias("n_rows"),
+    )
+    out = (
+        n_exact.crossJoin(F.broadcast(n_cap))
+        .crossJoin(F.broadcast(n_ph))
+        .crossJoin(F.broadcast(n_union))
+        .crossJoin(F.broadcast(stats))
+    )
+    return out.select(
+        *[F.col(c).cast("long").alias(c) for c in out.columns]
+    )
+
+
 def q_multimodal_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-star 3-stage engine as ONE artifact over the
     input_hint image+caption corpus (BASELINE.json north_star):
@@ -4504,6 +4578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bow_dedup": q_bow_dedup,
         "verified_rotation_pairs": q_verified_rotation_pairs,
         "streaming_enrich_join": q_streaming_enrich_join,
+        "dedup_funnel": q_dedup_funnel,
         # --- last driver-checked in round 3 ---
         "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
@@ -5315,6 +5390,61 @@ WHERE bit_count(xor(a.phash, b.phash)) <= 3
         # caption shingle-Jaccard edges (band-safe j>=0.9) + phash
         # Hamming edges (radius 3) + byte-equality edges, transitive
         # closure via recursive CTE, canonical = shortest-id argmin
+        # the funnel: all seven numbers recomputed from the same bytes
+        "dedup_funnel": _oracle_shingle_pairs(
+            None,
+            f"(SELECT image_id AS doc_id, caption AS text FROM {fixture}) src",
+        ).replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+        + f""",
+ce AS (
+  SELECT id1 AS a, id2 AS b FROM scored
+  WHERE inter / (n1 + n2 - inter) >= {MINHASH_T}
+),
+he AS (
+  SELECT a.image_id AS a, b.image_id AS b
+  FROM {fixture} a JOIN {fixture} b ON a.image_id < b.image_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 3
+),
+be AS (
+  SELECT a.image_id AS a, b.image_id AS b
+  FROM {fixture} a JOIN {fixture} b
+    ON a.bytes = b.bytes AND a.image_id < b.image_id
+  WHERE octet_length(a.bytes) >= 1
+),
+e AS (
+  SELECT a, b FROM ce UNION SELECT a, b FROM he UNION SELECT a, b FROM be
+),
+sym AS (
+  SELECT a, b FROM e UNION SELECT b, a FROM e
+  UNION SELECT a, a FROM e UNION SELECT b, b FROM e
+),
+reach(src_id, dst) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.src_id, y.b FROM reach r JOIN sym y ON r.dst = y.a
+),
+cl AS (
+  SELECT src_id AS image_id, min(dst) AS cluster_id FROM reach GROUP BY src_id
+),
+asg AS (
+  SELECT i.image_id, coalesce(cl.cluster_id, i.image_id) AS cluster_id
+  FROM {fixture} i LEFT JOIN cl ON i.image_id = cl.image_id
+),
+szs AS (SELECT cluster_id, count(*) AS sz FROM asg GROUP BY cluster_id)
+SELECT
+  CAST((SELECT count(*) FROM be) AS BIGINT) AS n_exact_pairs,
+  CAST((SELECT count(*) FROM ce) AS BIGINT) AS n_caption_pairs,
+  CAST((SELECT count(*) FROM he) AS BIGINT) AS n_phash_pairs,
+  -- explicit DISTINCT: this DuckDB's chained UNION inside a WITH
+  -- RECURSIVE block leaves duplicates (harmless for the closure,
+  -- wrong for a count)
+  CAST((SELECT count(*) FROM (SELECT DISTINCT a, b FROM e))
+       AS BIGINT) AS n_union_pairs,
+  CAST((SELECT count(*) FROM szs WHERE sz >= 2) AS BIGINT) AS n_clusters,
+  CAST((SELECT coalesce(sum(sz), 0) FROM szs WHERE sz >= 2) AS BIGINT)
+    AS n_dup_rows,
+  CAST((SELECT sum(sz) FROM szs) AS BIGINT) AS n_rows
+""",
         "multimodal_dedup_pipeline": _oracle_shingle_pairs(
             None,
             f"(SELECT image_id AS doc_id, caption AS text FROM {fixture}) src",

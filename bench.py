@@ -173,6 +173,8 @@ HEADLINE = [
     "verified_rotation_pairs",
     # (streaming_* queries stay out of the bench suite by convention:
     # eager replays measure the harness, not the engine)
+    # round-5: the dedup funnel dashboard (per-tier counts + CC)
+    "dedup_funnel",
     # round-5: per-line language segmentation (mixed-doc detection)
     "lang_segmentation",
     # round-5: brightness/rescale-invariant dHash dedup (pinned

@@ -903,6 +903,14 @@ def main() -> None:
     )
 
     audit(
+        "dedup_funnel (per-tier combinable counts + guarded verified "
+        "pair unions + the fused CC pass; one-row dashboard)",
+        e.queries()["dedup_funnel"](spark, sf),
+        ["no_payload_in_exchange", "no_expand"],
+        out,
+    )
+
+    audit(
         "lang_segmentation (explode + per-line projection + two "
         "combinable aggs, pure JVM)",
         e.queries()["lang_segmentation"](spark, sf),
