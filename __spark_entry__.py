@@ -4489,6 +4489,39 @@ def q_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EPOCH_BUDGET = 10_000_000  # training token budget for the epoch plan
+
+
+def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch planning — the arithmetic that turns mixing weights into
+    a training schedule and catches repetition risk BEFORE the run:
+    per source, target_tokens = budget · mix_weight and epochs =
+    target / available; upweighted small sources repeating > 4 epochs
+    are flagged (the empirical memorization cliff from the
+    data-repetition literature — Muennighoff et al. 2023 report
+    diminishing returns past ~4 epochs). Pure arithmetic over the
+    20-row mixing table; the risk flag compares the UNROUNDED epoch
+    ratio on both engines."""
+    from dedup_spark.operators.assembly import source_mixing_weights
+
+    mix = source_mixing_weights(
+        _docs(spark, sf_dir),
+        source_col="source",
+        token_count=TX.token_count(F.col("text")),
+        alpha=0.5,
+    )
+    target = F.col("mix_weight") * F.lit(float(EPOCH_BUDGET))
+    epochs = target / F.col("tokens")
+    return mix.select(
+        "source",
+        "tokens",
+        "mix_weight",
+        F.round(target, 6).alias("target_tokens"),
+        F.round(epochs, 6).alias("epochs"),
+        (epochs > 4.0).alias("repeat_risk"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: near-duplicate clustering of sf0.001 documents —
     MinHash-LSH candidates → exact-Jaccard verify → connected
@@ -4579,6 +4612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verified_rotation_pairs": q_verified_rotation_pairs,
         "streaming_enrich_join": q_streaming_enrich_join,
         "dedup_funnel": q_dedup_funnel,
+        "epoch_plan": q_epoch_plan,
         # --- last driver-checked in round 3 ---
         "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
@@ -7539,6 +7573,26 @@ z AS (SELECT sum(pow(share, 0.5)) AS z FROM sh)
 SELECT source, tokens, round(share, 6) AS share,
        round(pow(share, 0.5) / z, 6) AS mix_weight
 FROM sh, z
+""",
+        # epoch plan: the identical mixing CTE, then budget arithmetic
+        # (risk flag compares the UNROUNDED ratio on both sides)
+        "epoch_plan": f"""
+WITH per AS (
+  SELECT source, CAST(sum({toks_nonempty}) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(tokens) AS t FROM per),
+sh AS (SELECT source, tokens, tokens * 1.0 / t AS share FROM per, tot),
+z AS (SELECT sum(pow(share, 0.5)) AS z FROM sh),
+m AS (
+  SELECT source, tokens, round(pow(share, 0.5) / z, 6) AS mix_weight
+  FROM sh, z
+)
+SELECT source, tokens, mix_weight,
+       round(mix_weight * {float(EPOCH_BUDGET)}, 6) AS target_tokens,
+       round(mix_weight * {float(EPOCH_BUDGET)} / tokens, 6) AS epochs,
+       mix_weight * {float(EPOCH_BUDGET)} / tokens > 4.0 AS repeat_risk
+FROM m
 """,
         # DuckDB md5(VARCHAR) == Spark md5(cast-to-binary of the same
         # string): lowercase hex of the UTF-8 bytes. The id tie-break

@@ -175,6 +175,8 @@ HEADLINE = [
     # eager replays measure the harness, not the engine)
     # round-5: the dedup funnel dashboard (per-tier counts + CC)
     "dedup_funnel",
+    # round-5: token-budget epoch planning (mixing + arithmetic)
+    "epoch_plan",
     # round-5: per-line language segmentation (mixed-doc detection)
     "lang_segmentation",
     # round-5: brightness/rescale-invariant dHash dedup (pinned

@@ -64,3 +64,16 @@ def test_shard_plan_matches_python(spark):
         assert got[s]["fill_factor"] == round(chars * e.SHARDS / tot, 6)
     # md5 sharding must be roughly balanced (no shard > 3x ideal)
     assert max(v[1] for v in per.values()) < 3 * tot / e.SHARDS
+
+
+def test_epoch_plan_arithmetic(spark):
+    rows = e.q_epoch_plan(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["target_tokens"] == round(r["mix_weight"] * e.EPOCH_BUDGET, 6)
+        assert abs(r["epochs"] - r["target_tokens"] / r["tokens"]) < 1e-4
+        assert r["repeat_risk"] == (
+            r["mix_weight"] * e.EPOCH_BUDGET / r["tokens"] > 4.0
+        )
+    # budget conservation: targets sum to ~the budget (weights sum ~1)
+    assert abs(sum(r["target_tokens"] for r in rows) - e.EPOCH_BUDGET) < 1e3

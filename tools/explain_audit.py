@@ -911,6 +911,14 @@ def main() -> None:
     )
 
     audit(
+        "epoch_plan (mixing aggregation + broadcast scalars + pure "
+        "budget arithmetic, 20-row output)",
+        e.queries()["epoch_plan"](spark, sf),
+        ["wholestage_codegen", "no_python_udf", "no_expand"],
+        out,
+    )
+
+    audit(
         "lang_segmentation (explode + per-line projection + two "
         "combinable aggs, pure JVM)",
         e.queries()["lang_segmentation"](spark, sf),
