@@ -1598,7 +1598,8 @@ def q_bow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups by the joined string itself, re-proving the sha stands in.
     The gate is made non-vacuous AT ANY SF by construction: a seeded
     md5 rule selects ~5% of docs and unions in a copy with the token
-    order REVERSED (id offset +1M) — exactly the reordering attack the
+    order REVERSED (id offset +100M — clear of the sf1 replica
+    layout's +1M-per-replica doc_id bands) — exactly the reordering attack the
     tier exists for; each selected doc must pair with its shuffled
     twin while the near-dup one-token-substituted docs stay apart."""
     from dedup_spark.operators.ordering import shuffle_key
@@ -1612,7 +1613,7 @@ def q_bow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long") % 20
     )
     reordered = base.filter(rule == 0).select(
-        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        (F.col("doc_id") + F.lit(100_000_000)).alias("doc_id"),
         F.array_join(
             F.reverse(F.split(F.col("text"), r"\s+")), " "
         ).alias("text"),
@@ -1694,6 +1695,10 @@ def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
+    if os.environ.get("DEDUP_SPARK_EXPLAIN_ONLY"):
+        # plan-shape stand-in: skip the eager k-round merge training
+        # (the streaming queries' convention for plan-only consumers)
+        return doc_token_counts(docs, [("a", "b")] * BPE_K).limit(0)
     m = bpe_merges(word_frequencies(docs), k=BPE_K).orderBy("rank").collect()
     merges = [(r["sym_left"], r["sym_right"]) for r in m]
     return doc_token_counts(docs, merges)
@@ -5113,7 +5118,7 @@ WITH base AS (
 aug AS (
   SELECT doc_id, "text" FROM base
   UNION ALL
-  SELECT doc_id + 1000000,
+  SELECT doc_id + 100000000,
          array_to_string(list_reverse(
            regexp_split_to_array("text", '\\s+')), ' ')
   FROM base
@@ -7274,6 +7279,7 @@ SELECT image_id, fmt, sniffed_fmt, fmt = sniffed_fmt AS matches FROM d
         "caption_consistency": f"""
 WITH k AS (
   SELECT image_id, bytes, caption FROM {capaudit_fixture}
+  WHERE bytes IS NOT NULL AND caption IS NOT NULL
 ),
 pi AS (
   SELECT bytes AS b, count(DISTINCT caption) AS n_captions
@@ -7293,6 +7299,9 @@ SELECT k.image_id,
          ELSE 'consistent'
        END AS status
 FROM k JOIN pi ON pi.b = k.bytes JOIN pc ON pc.c = k.caption
+UNION ALL
+SELECT image_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'incomplete'
+FROM {capaudit_fixture} WHERE bytes IS NULL OR caption IS NULL
 """,
         # threshold sweep: the oracle does the quadratic self join the
         # engine's banded tier avoids — bit_count(xor) on the same

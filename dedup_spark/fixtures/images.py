@@ -591,7 +591,8 @@ def generate_sniff_corpus(n: int = 60, seed: int = 29) -> pd.DataFrame:
         encode) declared correctly
       * 'riff_wave' — RIFF container that is NOT WEBP (declared webp —
         exercises the two-field RIFF check's negative side)
-      * 'truncated' — 1-3 magic-prefix bytes (too short for any magic)
+      * 'truncated' — 1-2 magic-prefix bytes (strictly shorter than
+        every magic — jpeg's and ppm's are 3 bytes)
       * 'garbage'   — digest noise with no magic (asserted)
       * 'nullbytes' — NULL payload (sniffs as 'missing')
     Every row's expected sniff is computed by the reference Python

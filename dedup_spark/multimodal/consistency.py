@@ -38,10 +38,21 @@ def caption_image_consistency(
     """Per row: (id, n_captions, n_images, status) where n_captions is
     the distinct-caption count of this row's image content and
     n_images the distinct-image count of this row's caption. status:
-    'both' | 'caption_conflict' | 'stock_caption' | 'consistent'.
-    Note a 'both' GROUP yields different row-level statuses on its
-    different sides — status is a per-row fact, not a cluster fact."""
-    keyed = df.select(
+    'both' | 'caption_conflict' | 'stock_caption' | 'consistent',
+    or 'incomplete' for rows missing the payload or the caption —
+    the report is TOTAL (every input row appears exactly once; an
+    audit that silently drops rows hides exactly what it exists to
+    surface). Note a 'both' GROUP yields different row-level statuses
+    on its different sides — status is a per-row fact, not a cluster
+    fact."""
+    ok = F.col(bytes_col).isNotNull() & F.col(caption_col).isNotNull()
+    incomplete = df.filter(~ok).select(
+        id_col,
+        F.lit(0).cast("long").alias("n_captions"),
+        F.lit(0).cast("long").alias("n_images"),
+        F.lit("incomplete").alias("status"),
+    )
+    keyed = df.filter(ok).select(
         id_col,
         F.sha2(F.col(bytes_col), 256).alias("_img_key"),
         F.col(caption_col).alias("_cap"),
@@ -68,4 +79,5 @@ def caption_image_consistency(
             .otherwise("consistent")
             .alias("status"),
         )
+        .unionByName(incomplete)
     )

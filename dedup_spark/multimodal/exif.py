@@ -472,16 +472,18 @@ def scrub_gps(jpeg: bytes) -> tuple[bytes, bool]:
         if magic != 42:
             raise ValueError("bad TIFF magic")
         count = struct.unpack(e + "H", tiff[ifd_off : ifd_off + 2])[0]
-        kept, gps_off = [], None
+        kept, gps_offs = [], []
         for k in range(count):
             off = ifd_off + 2 + 12 * k
             ent = bytes(tiff[off : off + 12])
             tag = struct.unpack(e + "H", ent[:2])[0]
             if tag == TAG_GPS_IFD:
-                gps_off = struct.unpack(e + "I", ent[8:12])[0]
+                # a malformed IFD0 may carry the pointer MORE than
+                # once: strip every occurrence, zero every target
+                gps_offs.append(struct.unpack(e + "I", ent[8:12])[0])
             else:
                 kept.append(ent)
-        if gps_off is None:
+        if not gps_offs:
             return jpeg, False
         block_len = 2 + count * 12 + 4
         nxt = bytes(
@@ -491,25 +493,29 @@ def scrub_gps(jpeg: bytes) -> tuple[bytes, bool]:
             struct.pack(e + "H", len(kept))
             + b"".join(kept)
             + nxt
-            + b"\0" * 12
+            + b"\0" * (12 * (count - len(kept)))
         )
-        assert len(new_block) == block_len
+        if len(new_block) != block_len:
+            raise ValueError("IFD0 rebuild length drifted")
         tiff[ifd_off : ifd_off + block_len] = new_block
-        # zero the GPS IFD and its external values
-        n_gps = struct.unpack(e + "H", tiff[gps_off : gps_off + 2])[0]
-        for k in range(n_gps):
-            off = gps_off + 2 + 12 * k
-            typ, cnt = struct.unpack(e + "HI", tiff[off + 2 : off + 8])
-            nbytes = _TYPE_SIZE.get(typ, 0) * cnt
-            if nbytes > 4:
-                voff = struct.unpack(e + "I", tiff[off + 8 : off + 12])[0]
-                tiff[voff : voff + nbytes] = b"\0" * min(
-                    nbytes, max(0, len(tiff) - voff)
-                )
-        gps_block = 2 + n_gps * 12 + 4
-        tiff[gps_off : gps_off + gps_block] = b"\0" * min(
-            gps_block, max(0, len(tiff) - gps_off)
-        )
+        # zero every GPS IFD and its external values
+        for gps_off in gps_offs:
+            if gps_off >= len(tiff):
+                continue  # pointer past the TIFF block: nothing to zero
+            n_gps = struct.unpack(e + "H", tiff[gps_off : gps_off + 2])[0]
+            for k in range(n_gps):
+                off = gps_off + 2 + 12 * k
+                typ, cnt = struct.unpack(e + "HI", tiff[off + 2 : off + 8])
+                nbytes = _TYPE_SIZE.get(typ, 0) * cnt
+                if nbytes > 4:
+                    voff = struct.unpack(e + "I", tiff[off + 8 : off + 12])[0]
+                    tiff[voff : voff + nbytes] = b"\0" * min(
+                        nbytes, max(0, len(tiff) - voff)
+                    )
+            gps_block = 2 + n_gps * 12 + 4
+            tiff[gps_off : gps_off + gps_block] = b"\0" * min(
+                gps_block, max(0, len(tiff) - gps_off)
+            )
     except (struct.error, IndexError) as exc:
         raise ValueError(f"malformed EXIF structure: {exc}") from exc
     out = jpeg[:t0] + bytes(tiff) + jpeg[t0 + tlen :]

@@ -93,9 +93,13 @@ def shared_patch_pairs(
     aligned patch; n_shared counts DISTINCT shared patch signatures.
     Patch signatures carried by more than ``max_posting`` images are
     dropped (template guard) with the drop count logged."""
+    # lineage cut: the plan references sig 3-4 times (counts, keep,
+    # both self-join sides) — without it the Arrow decode+sha pass
+    # over every image re-executes per reference (the thumbprint/
+    # dhash/rotinv tiers guard the same way)
     sig = patch_signatures(df, patch=patch, id_col=id_col).select(
         id_col, "patch_sha"
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     counts = sig.groupBy("patch_sha").agg(
         F.count(F.lit(1)).alias("_n")
     )

@@ -31,8 +31,8 @@ def test_gate_pairs_every_selected_doc_with_its_twin(spark):
     rows = e.q_bow_dedup(spark, "/root/testdata/sf0.001").collect()
     ids = {r["doc_id"] for r in rows}
     # every injected twin (id >= 1M) is present with its original
-    twins = {i for i in ids if i >= 1_000_000}
-    assert twins and all(i - 1_000_000 in ids for i in twins)
+    twins = {i for i in ids if i >= 100_000_000}
+    assert twins and all(i - 100_000_000 in ids for i in twins)
     by_cluster = {}
     for r in rows:
         by_cluster.setdefault(r["cluster_id"], []).append(r["doc_id"])

@@ -55,7 +55,7 @@ def test_dup_rate_matches_duckdb_free_recompute(spark):
 
     got = {
         r["source"]: (r["n_docs"], r["n_dup_docs"], r["dup_rate"])
-        for r in e.q_dup_rate_by_source(spark, "/root/testdata/sf0.001").collect()
+        for r in e.q_dup_rate_by_source(spark, "/root/testdata/sf0.01").collect()
     }
     con = duckdb.connect()
     ref = con.sql("""

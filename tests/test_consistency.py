@@ -46,3 +46,14 @@ def test_class_statuses(spark):
     assert by_klass["stock"] == {"stock_caption"}
     # the mixed group: statuses differ by which side a row sits on
     assert by_klass["both"] == {"both", "caption_conflict", "stock_caption"}
+
+
+def test_report_is_total_with_null_rows(spark):
+    rows = [("a", b"x", "c"), ("b", None, "c"), ("c", b"y", None)]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, caption string"
+    )
+    got = {r["image_id"]: r for r in caption_image_consistency(df).collect()}
+    assert set(got) == {"a", "b", "c"}  # every row appears exactly once
+    assert got["b"]["status"] == got["c"]["status"] == "incomplete"
+    assert got["b"]["n_captions"] == 0 and got["c"]["n_images"] == 0

@@ -91,3 +91,25 @@ def test_corpus_report_classes(spark):
             assert r["make"] is None
         else:
             assert r["make"] == f"maker-{int(row['image_id'][1:]):04d}"
+
+
+def test_duplicate_gps_pointer_entries_survive(spark):
+    # a malformed IFD0 carrying the 0x8825 pointer TWICE must not kill
+    # the task: both occurrences stripped, both targets zeroed, length
+    # preserved — and if anything drifts, the error is a ValueError
+    # the report maps to scrub_ok=false (never an AssertionError)
+    import struct as st
+
+    jp = _jpeg_with_gps(False)
+    t0 = 12  # TIFF abs start (APP1 right after SOI)
+    # rewrite the DATETIME entry (idx 5) into a second GPS pointer
+    off = t0 + 8 + 2 + 12 * 5
+    gps_off_val = st.unpack("<I", jp[t0 + 8 + 2 + 12 * 6 + 8 :][:4])[0]
+    ent = st.pack("<HHI", 0x8825, 4, 1) + st.pack("<I", gps_off_val)
+    mutated = jp[:off] + ent + jp[off + 12 :]
+    cleaned, had = scrub_gps(mutated)
+    assert had and len(cleaned) == len(mutated)
+    assert parse_gps(cleaned) is None
+    tags = parse_exif(cleaned)
+    assert tags[0x010F] == "maker-0001"
+    assert 0x8825 not in tags
