@@ -3694,6 +3694,44 @@ def q_verified_rotation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_recompression_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG recompression dedup — THE most common web near-dup: the
+    same photo saved at different qualities (plus one lossless
+    original). Every exactness tier splits the variants (each decodes
+    to slightly different pixels); the DCT perceptual hash is the tier
+    built for this class, and the hash is RECOMPUTED FROM PIXELS (the
+    full decode → grayscale → DCT chain — the engine never trusts a
+    stored column), banded at radius 4 (the fixture generator measured
+    q=70 drift at exactly 4 bits and asserts within ≤ 4 / cross ≥ 12 —
+    the documented reason this tier runs one bit wider than the
+    default 3), then connected components. The oracle's
+    min(image_id)-per-source is the full value-checked assignment."""
+    from dedup_spark.fixtures.materialize import fixture_recompress_parquet
+    from dedup_spark.multimodal.decode import extract_image_features
+    from dedup_spark.operators.components import connected_components
+    from dedup_spark.operators.simhash import phash_near_duplicates
+
+    df = spark.read.parquet(fixture_recompress_parquet()).drop("src_id")
+    feats = (
+        extract_image_features(df)
+        .filter(F.col("ok"))
+        .select("image_id", F.col("recomputed_phash").alias("phash"))
+        .localCheckpoint(eager=False)
+    )
+    pairs = phash_near_duplicates(
+        feats, cfg=DedupConfig(hamming_radius=4), max_band_bucket=4096
+    )
+    asg = connected_components(pairs.select("id1", "id2"))
+    return (
+        feats.select("image_id")
+        .join(asg.withColumnRenamed("id", "image_id"), "image_id", "left")
+        .select(
+            "image_id",
+            F.coalesce("cluster_id", F.col("image_id")).alias("cluster_id"),
+        )
+    )
+
+
 def q_gps_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPS privacy scrub (multimodal/exif.py scrub_gps) — the
     redaction a web corpus owes its subjects before training: remove
@@ -4618,6 +4656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_enrich_join": q_streaming_enrich_join,
         "dedup_funnel": q_dedup_funnel,
         "epoch_plan": q_epoch_plan,
+        "recompression_dedup": q_recompression_dedup,
         # --- last driver-checked in round 3 ---
         "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
@@ -4836,6 +4875,11 @@ nr AS (SELECT doc_id, sqrt(CAST(sum(cnt*cnt) AS DOUBLE)) AS nrm
     from dedup_spark.fixtures.materialize import fixture_rotation_parquet
 
     rot_fixture = f"read_parquet('{fixture_rotation_parquet()}')"
+    from dedup_spark.fixtures.materialize import (
+        fixture_recompress_parquet,
+    )
+
+    recomp_fixture = f"read_parquet('{fixture_recompress_parquet()}')"
     from dedup_spark.fixtures.materialize import fixture_html_parquet
 
     html_fixture = f"read_parquet('{fixture_html_parquet()}')"
@@ -5202,6 +5246,14 @@ FROM per
         "html_extract": _html_oracle_sql().replace(
             "HTML_FIXTURE", html_fixture
         ),
+        # recompression dedup: group-by-source is the exact assignment
+        # (margins asserted at generation; the engine recomputes the
+        # hash from pixels, bands at radius 4, and runs CC)
+        "recompression_dedup": f"""
+SELECT image_id,
+       min(image_id) OVER (PARTITION BY src_id) AS cluster_id
+FROM {recomp_fixture}
+""",
         # verified rotation pairs: exactly the within-source pairs,
         # all verified (generator asserted cross-source distinctness)
         "verified_rotation_pairs": f"""

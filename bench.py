@@ -177,6 +177,8 @@ HEADLINE = [
     "dedup_funnel",
     # round-5: token-budget epoch planning (mixing + arithmetic)
     "epoch_plan",
+    # round-5: JPEG recompression dedup (radius-4 phash + CC)
+    "recompression_dedup",
     # round-5: per-line language segmentation (mixed-doc detection)
     "lang_segmentation",
     # round-5: brightness/rescale-invariant dHash dedup (pinned

@@ -957,3 +957,53 @@ def generate_rotation_corpus(n_src: int = 25, seed: int = 47) -> pd.DataFrame:
     return pd.DataFrame(
         rows, columns=["image_id", "src_id", "bytes", "w", "h", "fmt"]
     )
+
+
+def generate_recompress_corpus(n_src: int = 24, seed: int = 59) -> pd.DataFrame:
+    """Recompression variants of each source photo — THE most common
+    web near-dup: the same image saved at different JPEG qualities
+    (and once losslessly). Per source: the PNG original plus baseline
+    JPEG at q=70/85/92/99. Every variant decodes to slightly different
+    pixels, so every exactness tier (byte, pixel-sha, thumbprint,
+    content-box, multiset) splits them; the DCT perceptual hash is the
+    tier built for this class. The generator ASSERTS the separation
+    margin the oracle's group-by-source relies on: max within-source
+    pHash distance ≤ 4 (recompression needs one more bit of radius
+    than the default 3 — measured max is exactly 4 at q=70, the
+    documented reason the tier runs at radius 4) and min cross-source
+    distance ≥ 12 (measured 20) — so radius-4 clustering + connected
+    components must recover exactly the sources. Columns: (image_id,
+    src_id, bytes, w, h, fmt)."""
+    from dedup_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+    from dedup_spark.multimodal.png import encode_png
+
+    rows = []
+    hashes: list[tuple[str, int]] = []
+    for i in range(n_src):
+        sid = f"rc{i:04d}"
+        base = _smooth_image(f"{seed}:{sid}".encode(), 32, 32)
+        variants = [("png", encode_png(base), base)]
+        for q in (70, 85, 92, 99):
+            jp = encode_jpeg(base, quality=q)
+            variants.append((f"q{q}", jp, decode_jpeg(jp)))
+        per_src = []
+        for name, data, px in variants:
+            h = int(phash64(px))
+            per_src.append(h)
+            rows.append(
+                (f"{sid}#{name}", sid, data, 32, 32,
+                 "png" if name == "png" else "jpeg")
+            )
+        for a in range(len(per_src)):
+            for b in range(a + 1, len(per_src)):
+                d = bin((per_src[a] ^ per_src[b]) & ((1 << 64) - 1)).count("1")
+                assert d <= 4, f"{sid}: within-source phash distance {d} > 4"
+        hashes.extend((sid, h) for h in per_src)
+    for (sa, ha) in hashes:
+        for (sb, hb) in hashes:
+            if sa < sb:
+                d = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+                assert d >= 12, f"{sa}/{sb}: cross-source distance {d} < 12"
+    return pd.DataFrame(
+        rows, columns=["image_id", "src_id", "bytes", "w", "h", "fmt"]
+    )

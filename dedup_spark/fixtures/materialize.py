@@ -706,3 +706,34 @@ def fixture_html_parquet(params: dict | None = None) -> str:
         names=["doc_id", "html", "expected"],
     )
     return _write_atomic(table, out_dir, path)
+
+
+RECOMP_PARAMS = dict(n_src=24, seed=59)
+
+
+def fixture_recompress_parquet(params: dict | None = None) -> str:
+    """Pinned recompression corpus (fixtures/images.py
+    generate_recompress_corpus). `src_id` is the oracle's partition
+    key; margins (within ≤ 4, cross ≥ 12) asserted at generation."""
+    import pyarrow as pa
+
+    from dedup_spark.fixtures.images import generate_recompress_corpus
+
+    params = dict(RECOMP_PARAMS if params is None else params)
+    out_dir = os.path.join(FIXTURE_ROOT, "recomp_" + _params_tag(params))
+    path = os.path.join(out_dir, "images.parquet")
+    if os.path.exists(path):
+        return path
+    pdf = generate_recompress_corpus(**params)
+    table = pa.Table.from_arrays(
+        [
+            pa.array(pdf["image_id"], type=pa.string()),
+            pa.array(pdf["src_id"], type=pa.string()),
+            pa.array(pdf["bytes"], type=pa.binary()),
+            pa.array(pdf["w"], type=pa.int32()),
+            pa.array(pdf["h"], type=pa.int32()),
+            pa.array(pdf["fmt"], type=pa.string()),
+        ],
+        names=["image_id", "src_id", "bytes", "w", "h", "fmt"],
+    )
+    return _write_atomic(table, out_dir, path)

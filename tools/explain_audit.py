@@ -919,6 +919,14 @@ def main() -> None:
     )
 
     audit(
+        "recompression_dedup (pixel-recomputed phash -> radius-4 "
+        "pigeonhole bands -> CC; Arrow stage behind the checkpoint)",
+        e.queries()["recompression_dedup"](spark, sf),
+        ["no_payload_in_exchange", "no_cartesian"],
+        out,
+    )
+
+    audit(
         "lang_segmentation (explode + per-line projection + two "
         "combinable aggs, pure JVM)",
         e.queries()["lang_segmentation"](spark, sf),
