@@ -2025,6 +2025,44 @@ def q_edit1_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit1_pairs(cust, col="c_name")
 
 
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution — the blocking tier composed into
+    entity IDs: FastSS deletion-neighborhood candidates → JVM
+    Levenshtein verify (edit distance 1) → connected components over
+    the NAME graph → every customer row assigned entity_id = min
+    c_custkey of its name component. Typo chains resolve
+    transitively (A~B, B~C ⇒ one entity — the Merge/Purge semantics),
+    and byte-equal names merge trivially by being one node. The oracle
+    brute-forces the quadratic Levenshtein join and replays the
+    closure as a recursive CTE — cross-algorithm agreement on the
+    full 1500-row assignment, not just the pair set."""
+    from dedup_spark.operators.components import connected_components
+    from dedup_spark.operators.editdist import edit1_pairs
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    pairs = edit1_pairs(cust, col="c_name")
+    asg = connected_components(
+        pairs.select(
+            F.col("name_a").alias("id1"), F.col("name_b").alias("id2")
+        )
+    ).withColumnRenamed("id", "c_name")
+    rooted = cust.join(asg, "c_name", "left").select(
+        "c_custkey",
+        "c_name",
+        F.coalesce("cluster_id", F.col("c_name")).alias("_root"),
+    )
+    ents = rooted.groupBy("_root").agg(
+        F.min("c_custkey").alias("entity_id")
+    )
+    return rooted.join(ents, "_root").select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_name",
+        F.col("entity_id").cast("long").alias("entity_id"),
+    )
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style model-based quality signal: perplexity of every odd
     doc under an add-one bigram LM trained on the even half (the
@@ -4657,6 +4695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_funnel": q_dedup_funnel,
         "epoch_plan": q_epoch_plan,
         "recompression_dedup": q_recompression_dedup,
+        "entity_resolution": q_entity_resolution,
         # --- last driver-checked in round 3 ---
         "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
@@ -5246,6 +5285,37 @@ FROM per
         "html_extract": _html_oracle_sql().replace(
             "HTML_FIXTURE", html_fixture
         ),
+        # entity resolution: brute-force quadratic Levenshtein join +
+        # recursive closure over the name graph (cross-algorithm gate)
+        "entity_resolution": """
+WITH RECURSIVE n AS (
+  SELECT DISTINCT c_name FROM customer
+  WHERE c_name IS NOT NULL AND length(c_name) >= 1
+),
+e AS (
+  SELECT a.c_name AS a, b.c_name AS b
+  FROM n a JOIN n b ON a.c_name < b.c_name
+  WHERE levenshtein(a.c_name, b.c_name) <= 1
+),
+sym AS (
+  SELECT a, b FROM e UNION SELECT b, a FROM e
+  UNION SELECT a, a FROM e UNION SELECT b, b FROM e
+),
+reach(src, dst) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.src, y.b FROM reach r JOIN sym y ON r.dst = y.a
+),
+cl AS (SELECT src AS c_name, min(dst) AS root FROM reach GROUP BY src),
+asg AS (
+  SELECT c.c_custkey, c.c_name, coalesce(cl.root, c.c_name) AS root
+  FROM customer c LEFT JOIN cl ON cl.c_name = c.c_name
+),
+r AS (SELECT root, min(c_custkey) AS entity_id FROM asg GROUP BY root)
+SELECT CAST(asg.c_custkey AS BIGINT) AS c_custkey, asg.c_name,
+       CAST(r.entity_id AS BIGINT) AS entity_id
+FROM asg JOIN r ON r.root = asg.root
+""",
         # recompression dedup: group-by-source is the exact assignment
         # (margins asserted at generation; the engine recomputes the
         # hash from pixels, bands at radius 4, and runs CC)

@@ -179,6 +179,8 @@ HEADLINE = [
     "epoch_plan",
     # round-5: JPEG recompression dedup (radius-4 phash + CC)
     "recompression_dedup",
+    # round-5: end-to-end entity resolution (blocking + CC + ids)
+    "entity_resolution",
     # round-5: per-line language segmentation (mixed-doc detection)
     "lang_segmentation",
     # round-5: brightness/rescale-invariant dHash dedup (pinned

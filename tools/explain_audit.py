@@ -927,6 +927,14 @@ def main() -> None:
     )
 
     audit(
+        "entity_resolution (deletion-key blocking join -> levenshtein "
+        "verify -> CC over names -> min-key entity ids; never O(n^2))",
+        e.queries()["entity_resolution"](spark, sf),
+        ["wholestage_codegen", "no_python_udf", "no_cartesian"],
+        out,
+    )
+
+    audit(
         "lang_segmentation (explode + per-line projection + two "
         "combinable aggs, pure JVM)",
         e.queries()["lang_segmentation"](spark, sf),
