@@ -2025,6 +2025,36 @@ def q_edit1_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit1_pairs(cust, col="c_name")
 
 
+def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily click→purchase conversion — the classic event-funnel
+    rollup (one combinable day-grain aggregation with conditional
+    counts; day emitted as a yyyy-MM-dd string so the DATE type never
+    crosses engines). Conversion is NULL-safe: a day with zero clicks
+    reports NULL rate rather than a division error."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = F.date_format(F.col("ts"), "yyyy-MM-dd")
+    clicks = F.sum((F.col("event_type") == "click").cast("long"))
+    purch = F.sum((F.col("event_type") == "purchase").cast("long"))
+    return (
+        ev.groupBy(day.alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            clicks.alias("n_clicks"),
+            purch.alias("n_purchases"),
+        )
+        .select(
+            "day",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_clicks").cast("long").alias("n_clicks"),
+            F.col("n_purchases").cast("long").alias("n_purchases"),
+            F.when(
+                F.col("n_clicks") > 0,
+                F.round(F.col("n_purchases") / F.col("n_clicks"), 6),
+            ).alias("conversion"),
+        )
+    )
+
+
 def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end entity resolution — the blocking tier composed into
     entity IDs: FastSS deletion-neighborhood candidates → JVM
@@ -4696,6 +4726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_plan": q_epoch_plan,
         "recompression_dedup": q_recompression_dedup,
         "entity_resolution": q_entity_resolution,
+        "conversion_funnel": q_conversion_funnel,
         # --- last driver-checked in round 3 ---
         "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
@@ -5285,6 +5316,21 @@ FROM per
         "html_extract": _html_oracle_sql().replace(
             "HTML_FIXTURE", html_fixture
         ),
+        "conversion_funnel": """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clicks,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchases,
+       CASE WHEN sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) > 0
+            THEN round(sum(CASE WHEN event_type = 'purchase' THEN 1
+                           ELSE 0 END) * 1.0
+                       / sum(CASE WHEN event_type = 'click' THEN 1
+                             ELSE 0 END), 6)
+       END AS conversion
+FROM events GROUP BY 1
+""",
         # entity resolution: brute-force quadratic Levenshtein join +
         # recursive closure over the name graph (cross-algorithm gate)
         "entity_resolution": """

@@ -181,6 +181,8 @@ HEADLINE = [
     "recompression_dedup",
     # round-5: end-to-end entity resolution (blocking + CC + ids)
     "entity_resolution",
+    # round-5: daily click->purchase funnel (day-grain rollup)
+    "conversion_funnel",
     # round-5: per-line language segmentation (mixed-doc detection)
     "lang_segmentation",
     # round-5: brightness/rescale-invariant dHash dedup (pinned

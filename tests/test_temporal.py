@@ -128,3 +128,27 @@ def test_asof_equal_ts_right_duplicates_deterministic(spark):
         ).collect()[0]
         assert row.ts_matched == _ts(10.0)
         assert row.value_matched == 9.0
+
+
+def test_conversion_funnel_nullsafe_and_recompute(spark):
+    import __spark_entry__ as e
+    import duckdb
+
+    rows = {
+        r["day"]: r
+        for r in e.q_conversion_funnel(spark, "/root/testdata/sf0.001").collect()
+    }
+    ref = duckdb.sql("""
+      SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+             sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS c,
+             sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS p
+      FROM '/root/testdata/sf0.001/events.parquet' GROUP BY 1
+    """).fetchall()
+    assert len(rows) == len(ref)
+    for day, n, c, p in ref:
+        r = rows[day]
+        assert (r["n_events"], r["n_clicks"], r["n_purchases"]) == (n, c, p)
+        if c > 0:
+            assert r["conversion"] == round(p / c, 6)
+        else:
+            assert r["conversion"] is None

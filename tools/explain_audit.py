@@ -935,6 +935,14 @@ def main() -> None:
     )
 
     audit(
+        "conversion_funnel (one combinable day-grain agg with "
+        "conditional counts, pure JVM)",
+        e.queries()["conversion_funnel"](spark, sf),
+        ["wholestage_codegen", "no_python_udf", "no_expand"],
+        out,
+    )
+
+    audit(
         "lang_segmentation (explode + per-line projection + two "
         "combinable aggs, pure JVM)",
         e.queries()["lang_segmentation"](spark, sf),
