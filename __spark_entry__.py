@@ -2055,6 +2055,46 @@ def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — the other classic event-analytics shape
+    (beside the funnel): users grouped by their FIRST active day, then
+    for every day-offset k the fraction of the cohort active again.
+    Two aggregations + one join back + a broadcast cohort-size join:
+    first_day per user (min over a groupBy, never a window), distinct
+    (cohort, k, user) activity, then count per cell over the
+    de-duplicated activity — count(*) after a distinct-projection
+    groupBy, so no count_distinct Expand. Retention is exact-integer
+    division rounded 6dp."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.to_date(F.col("ts")).alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    act = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_d",
+            F.datediff(F.col("d"), F.col("cohort_d")).alias("k"),
+        )
+        .distinct()
+    )
+    cells = act.groupBy("cohort_d", "k").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    sizes = cells.filter(F.col("k") == 0).select(
+        "cohort_d", F.col("n_users").alias("_c0")
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_d")
+        .select(
+            F.date_format(F.col("cohort_d"), "yyyy-MM-dd").alias("cohort_day"),
+            F.col("k").cast("long").alias("k"),
+            F.col("n_users").cast("long").alias("n_users"),
+            F.round(F.col("n_users") / F.col("_c0"), 6).alias("retention"),
+        )
+    )
+
+
 def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end entity resolution — the blocking tier composed into
     entity IDs: FastSS deletion-neighborhood candidates → JVM
@@ -4727,6 +4767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recompression_dedup": q_recompression_dedup,
         "entity_resolution": q_entity_resolution,
         "conversion_funnel": q_conversion_funnel,
+        "cohort_retention": q_cohort_retention,
         # --- last driver-checked in round 3 ---
         "ann_gaussian_recall": q_ann_gaussian_recall,
         "simhash_text_pairs": q_simhash_text_pairs,
@@ -5330,6 +5371,24 @@ SELECT strftime(ts, '%Y-%m-%d') AS day,
                              ELSE 0 END), 6)
        END AS conversion
 FROM events GROUP BY 1
+""",
+        "cohort_retention": """
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+f AS (SELECT user_id, min(d) AS cohort_d FROM ev GROUP BY user_id),
+act AS (
+  SELECT DISTINCT ev.user_id, f.cohort_d,
+         datediff('day', f.cohort_d, ev.d) AS k
+  FROM ev JOIN f ON f.user_id = ev.user_id
+),
+cells AS (
+  SELECT cohort_d, k, CAST(count(*) AS BIGINT) AS n_users
+  FROM act GROUP BY cohort_d, k
+),
+c0 AS (SELECT cohort_d, n_users AS c0 FROM cells WHERE k = 0)
+SELECT strftime(cells.cohort_d, '%Y-%m-%d') AS cohort_day,
+       CAST(cells.k AS BIGINT) AS k, cells.n_users,
+       round(cells.n_users * 1.0 / c0.c0, 6) AS retention
+FROM cells JOIN c0 ON c0.cohort_d = cells.cohort_d
 """,
         # entity resolution: brute-force quadratic Levenshtein join +
         # recursive closure over the name graph (cross-algorithm gate)

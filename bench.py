@@ -183,6 +183,8 @@ HEADLINE = [
     "entity_resolution",
     # round-5: daily click->purchase funnel (day-grain rollup)
     "conversion_funnel",
+    # round-5: cohort retention (first-day agg + distinct cells)
+    "cohort_retention",
     # round-5: per-line language segmentation (mixed-doc detection)
     "lang_segmentation",
     # round-5: brightness/rescale-invariant dHash dedup (pinned

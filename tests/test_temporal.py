@@ -152,3 +152,32 @@ def test_conversion_funnel_nullsafe_and_recompute(spark):
             assert r["conversion"] == round(p / c, 6)
         else:
             assert r["conversion"] is None
+
+
+def test_cohort_retention_hand_constructed(spark):
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+    import datetime as dt
+
+    # u1 active d0,d1,d2 ; u2 active d0 only ; u3 first on d1, back d2
+    rows = []
+    d0 = dt.datetime(2024, 1, 1)
+    for uid, days in ((1, (0, 1, 2)), (2, (0,)), (3, (1, 2))):
+        for k in days:
+            rows.append((uid, d0 + dt.timedelta(days=k)))
+            rows.append((uid, d0 + dt.timedelta(days=k, hours=3)))  # dup hit
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    import tempfile, os
+    base = tempfile.mkdtemp()
+    ev.write.parquet(os.path.join(base, "events.parquet"))
+    got = {
+        (r["cohort_day"], r["k"]): (r["n_users"], r["retention"])
+        for r in e.q_cohort_retention(spark, base).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): (2, 1.0),
+        ("2024-01-01", 1): (1, 0.5),
+        ("2024-01-01", 2): (1, 0.5),
+        ("2024-01-02", 0): (1, 1.0),
+        ("2024-01-02", 1): (1, 1.0),
+    }

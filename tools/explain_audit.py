@@ -943,6 +943,15 @@ def main() -> None:
     )
 
     audit(
+        "cohort_retention (min-agg first day, distinct projection, "
+        "cell counts + broadcast cohort sizes — no Expand, no window)",
+        e.queries()["cohort_retention"](spark, sf),
+        ["wholestage_codegen", "no_python_udf", "no_expand",
+         "broadcast_join"],
+        out,
+    )
+
+    audit(
         "lang_segmentation (explode + per-line projection + two "
         "combinable aggs, pure JVM)",
         e.queries()["lang_segmentation"](spark, sf),
