@@ -37,11 +37,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 
-def trim_uniform_border(px: np.ndarray) -> np.ndarray:
-    """Strip the maximal uniform frame of the corner color px[0,0]:
-    drop every leading/trailing row/column whose pixels ALL equal it
-    (sides independent). Returns the content box view; a fully uniform
-    image returns the ORIGINAL buffer unchanged."""
+def _trim_once(px: np.ndarray) -> np.ndarray:
+    """One pass: strip the maximal uniform frame of the corner color
+    px[0,0] (each side independently). A fully uniform image returns
+    the ORIGINAL buffer unchanged."""
     corner = px[0, 0]
     content = (px != corner).any(axis=2)
     rows = content.any(axis=1)
@@ -53,6 +52,23 @@ def trim_uniform_border(px: np.ndarray) -> np.ndarray:
     c0 = int(cols.argmax())
     c1 = int(len(cols) - cols[::-1].argmax())
     return px[r0:r1, c0:c1]
+
+
+def trim_uniform_border(px: np.ndarray) -> np.ndarray:
+    """Strip uniform frames ITERATED TO FIXPOINT: after removing the
+    outer frame the new corner may start a DIFFERENT-colored inner
+    frame (a white mat inside a black border — real nested
+    re-publication), so one pass is not idempotent; the fixpoint is,
+    by construction (hypothesis-pinned), and it collapses nested
+    multi-color frames that a single pass would treat as content.
+    Each pass strictly shrinks the buffer or stops, so the loop is
+    bounded by min(h, w). A fully uniform image keeps its whole
+    buffer."""
+    while True:
+        nxt = _trim_once(px)
+        if nxt.shape == px.shape:
+            return nxt
+        px = nxt
 
 
 def border_trim_clusters(

@@ -68,3 +68,19 @@ def test_double_padding_still_collapses(spark):
     df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
     got = {r["image_id"]: r["cluster_id"] for r in border_trim_clusters(df).collect()}
     assert got["a"] == got["b"] == got["c"] == "a"
+
+
+def test_nested_multicolor_frames_collapse(spark):
+    # a white mat INSIDE a black border (nested re-publication): one
+    # trim pass only strips the outer frame; the fixpoint recovers the
+    # base — hypothesis found the non-idempotence, this pins the fix
+    base = _smooth_image(b"nest", 10, 8)
+    nested = _pad_image(
+        _pad_image(base, 2, 2, 2, 2, (255, 255, 255)), 3, 3, 3, 3, (0, 0, 0)
+    )
+    got = trim_uniform_border(nested)
+    assert got.shape == base.shape and (got == base).all()
+    rows = [("a", encode_ppm(base), "ppm"), ("b", encode_ppm(nested), "ppm")]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    got2 = {r["image_id"]: r["cluster_id"] for r in border_trim_clusters(df).collect()}
+    assert got2["a"] == got2["b"] == "a"

